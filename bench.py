@@ -1,0 +1,175 @@
+"""Benchmark: annealed-SDE chain-steps/sec/chip on the flagship recipe.
+
+Config: 40-mode GMM with MCD_CAIS_var_sn (VarGrad), N=2000 chains,
+nbridges=256 — the reference's headline recipe (README.md:26-40,
+BASELINE.json). One "chain-step" = one SDE bridge step of one chain, so a
+training step performs N * nbridges chain-steps (forward; the backward pass
+is part of the measured step, as in the 5x wall-clock target).
+
+Prints ONE JSON line:
+  {"metric": "chain_steps_per_sec_per_chip", "value": ..., "unit": "steps/s",
+   "vs_baseline": ...}
+vs_baseline = tpu_native / reference_style, where reference_style is a
+faithful re-creation of the reference's vmapped per-chain execution
+structure run on the SAME chip (bench_reference_style.py). The reference
+repo itself cannot run here (numpyro/distrax/wandb absent), so this is the
+honest like-for-like baseline.
+
+Env knobs: BENCH_N, BENCH_NBRIDGES, BENCH_ITERS for quick local runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def time_steps(step_fn, init_state, iters: int):
+    """Median wall-clock of jitted step_fn over `iters` timed calls."""
+    state = init_state
+    # Warmup / compile.
+    state = step_fn(state, 0)
+    jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        state = step_fn(state, i + 1)
+        jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def bench_tpu_native(n, nbridges, iters):
+    import cmcd_tpu
+    from cmcd_tpu.train import project
+
+    target = cmcd_tpu.load_target("many_gmm")
+    setup = cmcd_tpu.CMCDSetup(
+        mode="MCD_CAIS_var_sn",
+        dim=target.dim,
+        nbridges=nbridges,
+        emb_dim=48,
+        grad_clipping=True,
+    )
+    trainable = cmcd_tpu.default_trainable(setup.mode, train_eps=False, train_vi=False)
+    params, ctx = cmcd_tpu.initialize(
+        setup, target.log_prob, eps=0.65, init_sigma=15.0, trainable=trainable
+    )
+    opt = optax.chain(optax.clip(5.0), optax.adam(1e-3))
+    opt_state = opt.init(params["train"])
+    notrain = params["notrain"]
+
+    @jax.jit
+    def train_step(state, i):
+        train_p, opt_state, key = state
+        key, step_key = jax.random.split(key)
+
+        def loss(tr):
+            return cmcd_tpu.var_bound(
+                {"train": tr, "notrain": notrain}, step_key, n, ctx, setup
+            )
+
+        (l, _), grads = jax.value_and_grad(loss, has_aux=True)(train_p)
+        updates, opt_state = opt.update(grads, opt_state, train_p)
+        train_p = optax.apply_updates(train_p, updates)
+        train_p = project(train_p, trainable)
+        return (train_p, opt_state, key)
+
+    state = (params["train"], opt_state, jax.random.PRNGKey(0))
+    return time_steps(train_step, state, iters)
+
+
+def bench_reference_style(n, nbridges, iters):
+    import cmcd_tpu
+    from cmcd_tpu.networks.geffner import build_geffner_network
+    from cmcd_tpu.schedules import betas_from_grid, make_beta_grid_params
+    from bench_reference_style import make_reference_style_vargrad
+
+    target = cmcd_tpu.load_target("many_gmm")
+    dim = target.dim
+
+    init_sn, apply_sn_batched = build_geffner_network(dim, 48, nbridges)
+    sn = init_sn(jax.random.PRNGKey(1))
+
+    def apply_sn_single(p, z, i):
+        return apply_sn_batched(p, z[None, :], i)[0]
+
+    def target_single(z):
+        return target.log_prob(z[None, :])[0]
+
+    loss_fn = make_reference_style_vargrad(target_single, dim, nbridges, apply_sn_single)
+    mg, gx, tx = make_beta_grid_params(nbridges)
+    betas = betas_from_grid(mg, gx, tx)
+    params = {
+        "vd": {
+            "mean": jnp.zeros(dim),
+            "logdiag": jnp.ones(dim) * jnp.log(15.0),
+        },
+        "eps": jnp.asarray(0.65),
+        "sn": sn,
+        "mgridref_y": mg,
+    }
+    opt = optax.chain(optax.clip(5.0), optax.adam(1e-3))
+    # Reference trains (eta, gamma, sn, mgridref_y); grads flow to sn and
+    # mgridref_y here — equivalent work.
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(state, i):
+        params, opt_state, key = state
+        key, step_key = jax.random.split(key)
+        # Reference draws N integer seeds per step (src/opt.py:94).
+        seeds = jax.random.randint(step_key, (n,), 1, int(1e6))
+
+        def loss(p):
+            b = betas_from_grid(p["mgridref_y"], gx, tx)
+            return loss_fn(seeds, p, b)
+
+        (l, _), grads = jax.value_and_grad(loss, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, key)
+
+    state = (params, opt_state, jax.random.PRNGKey(0))
+    return time_steps(train_step, state, iters)
+
+
+def main():
+    n = int(os.environ.get("BENCH_N", 2000))
+    nbridges = int(os.environ.get("BENCH_NBRIDGES", 256))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+
+    t_native = bench_tpu_native(n, nbridges, iters)
+    t_ref = bench_reference_style(n, nbridges, iters)
+
+    chain_steps = n * nbridges
+    native_tput = chain_steps / t_native
+    ref_tput = chain_steps / t_ref
+
+    print(
+        json.dumps(
+            {
+                "metric": "chain_steps_per_sec_per_chip",
+                "value": round(native_tput, 1),
+                "unit": "chain-steps/s",
+                "vs_baseline": round(native_tput / ref_tput, 3),
+                "detail": {
+                    "config": f"many_gmm MCD_CAIS_var_sn N={n} K={nbridges}",
+                    "tpu_native_step_s": round(t_native, 4),
+                    "reference_style_step_s": round(t_ref, 4),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

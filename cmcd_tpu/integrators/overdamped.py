@@ -113,6 +113,8 @@ def evolve_overdamped(
         w = w + bk_log_prob - fk_log_prob
         return (z_new, w), None
 
-    w0 = jnp.zeros(n)
+    # Derive w0 from z (not a fresh constant) so it inherits z's device-varying
+    # axes under shard_map.
+    w0 = 0.0 * z[:, 0]
     (z, w), _ = jax.lax.scan(step, (z, w0), jnp.arange(ctx.nbridges))
     return z, w, None

@@ -81,7 +81,9 @@ def evolve_uha(key, z, betas, params, ctx: IntegratorContext):
     rho_key = jax.random.fold_in(key, ctx.nbridges)
     rho0 = jnp.exp(md) * jax.random.normal(rho_key, (n, dim))
 
+    # w0 derived from z so it inherits device-varying axes under shard_map.
+    w0 = 0.0 * z[:, 0]
     (z, _, w), delta_h = jax.lax.scan(
-        step, (z, rho0, jnp.zeros(n)), jnp.arange(ctx.nbridges)
+        step, (z, rho0, w0), jnp.arange(ctx.nbridges)
     )
     return z, w, delta_h
