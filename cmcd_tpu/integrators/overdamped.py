@@ -62,7 +62,7 @@ DNF = OverdampedSpec(
 
 
 def evolve_overdamped(
-    key, z, betas, params, ctx: IntegratorContext, spec: OverdampedSpec
+    key, z, betas, params, ctx: IntegratorContext, spec: OverdampedSpec, noise=None
 ):
     """Run nbridges overdamped steps. z: (N, dim). Returns (z, w_delta, aux).
 
@@ -70,6 +70,10 @@ def evolve_overdamped(
     schedule applies to CAIS modes via ctx.eps_schedule
     (src/mcd_cais.py:54-59); clipping only when ctx.grad_clipping
     (src/mcd_cais.py:52).
+
+    noise: optional (nbridges, N, dim) pre-drawn standard normals replacing
+    the per-step PRNG draws — used for bit-level equivalence tests against
+    the fused Pallas kernel (ops/pallas_overdamped.py).
     """
     n = z.shape[0]
 
@@ -95,8 +99,12 @@ def evolve_overdamped(
         if spec.fwd_sn:
             fk_mean = fk_mean - eps * apply_sn(params["sn"], z, i)
 
-        noise_key, _ = step_keys(key, i)
-        z_new = fk_mean + scale * jax.random.normal(noise_key, z.shape)
+        if noise is None:
+            noise_key, _ = step_keys(key, i)
+            xi = jax.random.normal(noise_key, z.shape)
+        else:
+            xi = noise[i]
+        z_new = fk_mean + scale * xi
         if spec.stop_grad_state:
             z_new = jax.lax.stop_gradient(z_new)
 

@@ -1,0 +1,203 @@
+"""Experiment driver CLI.
+
+Reference: src/main.py. Same flag surface (--config.model, --config.boundmode,
+--config.N, --config.nbridges, ...; absl + ml_collections config_flags), same
+phases: [MFVI pretrain] -> mode init -> train -> eval (30x500) -> W2 for
+tractable targets -> artifact dump. New capabilities: fused Pallas eval path,
+periodic orbax checkpointing + resume, JSONL metrics, no wandb requirement.
+
+Run e.g.:
+  python -m cmcd_tpu.main --config.model funnel --config.boundmode MCD_CAIS_sn \
+      --config.nbridges 8 --config.N 300 --config.iters 11000
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+from absl import app
+import ml_collections.config_flags
+
+from cmcd_tpu import bounds
+from cmcd_tpu.config import TRACTABLE_DISTS, apply_lookup_tables
+from cmcd_tpu.targets import load_target
+from cmcd_tpu.train import evaluate, mfvi_pretrain, train
+from cmcd_tpu.utils import MetricLogger, ThroughputMeter, calculate_w2_distances
+
+_CONFIG = ml_collections.config_flags.DEFINE_config_file(
+    "config",
+    os.path.join(os.path.dirname(__file__), "config.py"),
+    "Training configuration.",
+    lock_config=False,
+)
+
+
+def run_experiment(config, logger: MetricLogger | None = None):
+    logger = logger or MetricLogger(config.log.jsonl)
+    for k, v in apply_lookup_tables(config).items():
+        setattr(config, k, v)
+    print(config)
+
+    target = load_target(config.model, config)
+    dim = target.dim
+    key = jax.random.PRNGKey(config.seed)
+    train_key, eval_key = jax.random.split(key)
+
+    # ---- MFVI pretrain (reference main.py:82-113) -----------------------
+    if config.pretrain_mfvi:
+        vdparams, elbo_init, _ = mfvi_pretrain(
+            dim,
+            target.log_prob,
+            lr=config.mfvi_lr,
+            iters=config.mfvi_iters,
+            batch_size=config.N,
+            key=train_key,
+            init_sigma=config.init_sigma,
+        )
+        print("Done training initial parameters, got ELBO %.2f." % elbo_init)
+        logger.log({"elbo_init": elbo_init})
+    else:
+        from cmcd_tpu.distributions import diag_gaussian_init
+
+        vdparams = diag_gaussian_init(dim, config.init_sigma)
+
+    # ---- Mode init (reference main.py:115-180) ---------------------------
+    mode = config.boundmode
+    setup = bounds.CMCDSetup(
+        mode=mode,
+        dim=dim,
+        nbridges=config.nbridges,
+        eps_schedule=config.eps_schedule,
+        grad_clipping=config.grad_clipping,
+        lfsteps=config.lfsteps,
+        emb_dim=config.emb_dim,
+        nlayers=config.nlayers,
+        nn_arch=config.nn_arch,
+        fully_connected_units=tuple(config.fully_connected_units),
+    )
+    trainable = bounds.default_trainable(
+        mode, config.train_eps, config.train_vi, config.train_betas
+    )
+    params, ctx = bounds.initialize(
+        setup,
+        target.log_prob,
+        vdparams=vdparams,
+        eps=config.init_eps,
+        eta=config.init_eta,
+        gamma=config.init_gamma,
+        trainable=trainable,
+        seed=config.seed,
+    )
+
+    meter = ThroughputMeter(config.N, config.nbridges)
+
+    def callback(step, info, z):
+        info["chain_steps_per_sec"] = meter.rate(step)
+        logger.log(info, step=step)
+
+    # ---- Checkpointing (new capability) ----------------------------------
+    ckpt = None
+    if config.checkpoint_dir:
+        from cmcd_tpu.utils.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(config.checkpoint_dir)
+        if config.resume:
+            _, restored = ckpt.restore(template={"params": params})
+            if restored is not None:
+                params = restored["params"]
+                print("Resumed from checkpoint.")
+
+    # ---- Train ------------------------------------------------------------
+    result = train(
+        setup,
+        params,
+        ctx,
+        lr=config.lr,
+        iters=config.iters,
+        batch_size=config.N,
+        key=train_key,
+        trainable=trainable,
+        use_ema=config.use_ema,
+        callback=callback,
+    )
+    if result.diverged:
+        print("Diverged at step %d; evaluating last finite params." % result.steps_done)
+    params = result.params
+
+    if ckpt is not None:
+        ckpt.save(result.steps_done, params)
+
+    # ---- Eval (reference main.py:209-246) --------------------------------
+    out = evaluate(
+        params,
+        ctx,
+        setup,
+        key=eval_key,
+        n_samples=config.n_samples,
+        n_input_dist_seeds=config.n_input_dist_seeds,
+    )
+    print("Done training, got ELBO %.2f." % out["final_elbo"])
+    print("Done training, got ln Z %.2f." % out["final_ln_Z"])
+    logger.log({k: v for k, v in out.items() if isinstance(v, float)})
+
+    results = {
+        "final_elbo": out["final_elbo"],
+        "final_ln_Z": out["final_ln_Z"],
+        "final_elbo_std": out["final_elbo_std"],
+        "final_ln_Z_std": out["final_ln_Z_std"],
+    }
+
+    if config.use_ema and result.ema_params is not None:
+        out_ema = evaluate(
+            result.ema_params,
+            ctx,
+            setup,
+            key=eval_key,
+            n_samples=config.n_samples,
+            n_input_dist_seeds=config.n_input_dist_seeds,
+        )
+        print("With EMA, got ELBO %.2f." % out_ema["final_elbo"])
+        print("With EMA, got ln Z %.2f." % out_ema["final_ln_Z"])
+        results["final_elbo_ema"] = out_ema["final_elbo"]
+        results["final_ln_Z_ema"] = out_ema["final_ln_Z"]
+
+    # ---- W2 for tractable targets (reference main.py:249-272) ------------
+    if target.sample is not None and config.model in ("nice", "funnel", "gmm"):
+        n_tot = config.n_samples * config.n_input_dist_seeds
+        target_samples = target.sample(jax.random.PRNGKey(1), n_tot)
+        other = target.sample(jax.random.PRNGKey(2), n_tot)
+        w2 = calculate_w2_distances(
+            out["samples"],
+            target_samples,
+            other,
+            config.n_samples,
+            config.n_input_dist_seeds,
+            min(config.n_sinkhorn, config.n_samples),
+        )
+        logger.log(w2)
+        results.update(w2)
+
+    # ---- Artifact dump (reference main.py:286-301) ------------------------
+    if config.checkpoint_dir:
+        merged = {**params["train"], **params["notrain"]}
+        path = os.path.join(
+            config.checkpoint_dir,
+            f"{config.model}_{config.boundmode}_{config.nbridges}_params.pkl",
+        )
+        with open(path, "wb") as f:
+            pickle.dump(jax.device_get(merged), f)
+
+    logger.close()
+    return results
+
+
+def main(argv):
+    del argv
+    run_experiment(_CONFIG.value)
+
+
+if __name__ == "__main__":
+    app.run(main)

@@ -1,0 +1,104 @@
+"""High-level entry to the fused Pallas evolution path.
+
+Drop-in alternative to bounds.compute_elbos for the overdamped modes on
+targets with a registered transposed-layout gradient (ops/target_grads.py).
+The variational sample, initial/final log-prob terms, and everything outside
+the bridge loop stay in XLA; the K-step loop runs in the fused kernel.
+
+Forward-only (sampling / evaluation / ln Z); training still uses the XLA
+autodiff path. PRNG: the kernel's TPU PRNG stream is seeded from the JAX key
+(statistical parity with the scan path, SURVEY.md §7 hard part 1).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cmcd_tpu import bounds
+from cmcd_tpu.distributions import diag_gaussian_log_prob, diag_gaussian_sample
+from cmcd_tpu.integrators import overdamped as od
+from cmcd_tpu.ops.pallas_overdamped import evolve_overdamped_pallas, pack_geffner_t
+from cmcd_tpu.ops.target_grads import grad_t_for_target
+from cmcd_tpu.schedules import betas_from_grid
+
+_PALLAS_SPECS = {
+    "MCD_ULA": od.ULA,
+    "MCD_ULA_sn": od.ULA_SN,
+    "MCD_CAIS_sn": od.CAIS,
+    "MCD_CAIS_var_sn": od.CAIS_VAR,
+}
+
+
+def _dim_pad(dim: int) -> int:
+    return max(8, ((dim + 7) // 8) * 8)
+
+
+def supports_fused(setup: bounds.CMCDSetup, target) -> bool:
+    """True if (mode, target, net arch) can run on the fused kernel."""
+    if setup.mode not in _PALLAS_SPECS:
+        return False
+    if setup.nn_arch != "geffner" and setup.mode != "MCD_ULA":
+        return False
+    return grad_t_for_target(target, _dim_pad(setup.dim)) is not None
+
+
+def compute_elbos_fused(
+    params,
+    key,
+    n_chains: int,
+    setup: bounds.CMCDSetup,
+    target,
+    *,
+    block: int = 512,
+    noise=None,
+    interpret: bool = False,
+):
+    """Per-chain negative ELBOs via the fused kernel.
+
+    Same contract as bounds.compute_elbos (returns (neg_elbos, z)) but takes
+    the Target (the kernel needs its transposed gradient) instead of ctx.
+    """
+    spec = _PALLAS_SPECS[setup.mode]
+    p = bounds.merged_params(params)
+    dim = setup.dim
+    dim_pad = _dim_pad(dim)
+
+    z_key, evolve_key = jax.random.split(key)
+    z0 = diag_gaussian_sample(z_key, p["vd"], n_chains)
+    w0 = -diag_gaussian_log_prob(p["vd"], z0)
+
+    betas = betas_from_grid(p["mgridref_y"], p["gridref_x"], p["target_x"])
+    grad_t = grad_t_for_target(target, dim_pad)
+
+    use_sn = spec.fwd_sn or spec.bwd_sn
+    if use_sn:
+        sn_weights, sn_meta = pack_geffner_t(p["sn"], dim, dim_pad)
+    else:
+        sn_weights = sn_meta = None
+
+    # Derive a 32-bit kernel seed from the JAX key.
+    seed = jax.random.randint(evolve_key, (), 0, jnp.iinfo(jnp.int32).max)
+
+    z, w = evolve_overdamped_pallas(
+        z0,
+        w0,
+        betas,
+        p["eps"],
+        p["vd"]["mean"],
+        p["vd"]["logdiag"],
+        grad_t,
+        spec,
+        dim=dim,
+        nbridges=setup.nbridges,
+        sn_weights=sn_weights,
+        sn_meta=sn_meta,
+        eps_schedule=setup.eps_schedule,
+        grad_clipping=setup.grad_clipping,
+        seed=seed,
+        block=block,
+        noise=noise,
+        interpret=interpret,
+    )
+    w = w + target.log_prob(z)
+    return -w, z

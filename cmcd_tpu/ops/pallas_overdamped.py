@@ -1,0 +1,360 @@
+"""Fused Pallas time-stepping kernel for the overdamped annealed SDE.
+
+The reference (and the XLA-scan path in integrators/overdamped.py) stages
+each of the nbridges steps as separate small HBM-roundtripping ops; at the
+flagship config (N=2000, K=256, dim=2) the step is latency-bound, not
+FLOP-bound. This kernel runs the ENTIRE bridge loop on-core: chain state
+(z), the running log-weight (w), the score-network weights, and the beta
+schedule live in VMEM for all K steps; Gaussian noise comes from the
+in-kernel PRNG (Box-Muller over pltpu.prng_random_bits).
+
+Layout: chain state is (dim_pad, B) — chains on the 128-wide lane axis,
+dimensions on sublanes — so the geffner score-net layers are dense
+(in, in) @ (in, B) MXU matmuls and all elementwise SDE math is lane-parallel.
+The per-bridge embedding lookup is a one-hot matmul (no dynamic lane
+gathers), and the state/embedding concatenation is a pair of constant
+selector matmuls.
+
+All host-side constants the step math closes over (target constants, vd
+params, selector matrices, packed net weights) are hoisted into kernel
+inputs via jax.closure_convert, so nothing is baked into the compiled
+kernel and weights can change between calls without recompilation.
+
+Numerics match integrators/overdamped.py exactly given the same noise; the
+PRNG stream differs (threefry vs TPU PRNG), so cross-path parity is
+statistical. Both paths accept injected noise for bit-level equivalence
+tests (tests/test_pallas.py).
+
+Weight update per step (log B - log F with the scales cancelling):
+    w += -0.5 * [ ||(z - bk_mean)/scale||^2 - ||noise||^2 ]
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cmcd_tpu.integrators.overdamped import OverdampedSpec
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pack_geffner_t(sn_params, dim: int, dim_pad: int):
+    """Transpose/pad geffner params (networks/geffner.py) for (in, B) applies.
+
+    Returns (weights, meta). weights = {"layers": [(W_T, b_col), ...],
+    "head": (W_T padded to dim_pad rows, b_col), "emb_t": (emb_dim, nbridges)}.
+    """
+    layers = [
+        (layer["w"].T, layer["b"][:, None]) for layer in sn_params["layers"]
+    ]
+    head_w = sn_params["head"]["w"].T  # (dim, in)
+    head_b = sn_params["head"]["b"][:, None]
+    in_dim = head_w.shape[1]
+    head_w = jnp.zeros((dim_pad, in_dim)).at[:dim].set(head_w)
+    head_b = jnp.zeros((dim_pad, 1)).at[:dim].set(head_b)
+    weights = {
+        "layers": layers,
+        "head": (head_w, head_b),
+        "emb_t": sn_params["emb"].T,
+        "factor_sn": sn_params["factor_sn"],
+    }
+    meta = {
+        "emb_dim": sn_params["emb"].shape[1],
+        "nbridges": sn_params["emb"].shape[0],
+        "in_dim": in_dim,
+    }
+    return weights, meta
+
+
+def _bits_to_unit(bits):
+    """int32 random bits -> float32 in [0, 1).
+
+    Mosaic has no int->float cast; build the float bitwise: put 23 random
+    bits in the mantissa with exponent 127 => [1, 2), then subtract 1.
+    """
+    mantissa = jax.lax.shift_right_logical(bits, 9) | jnp.int32(0x3F800000)
+    return pltpu.bitcast(mantissa, jnp.float32) - 1.0
+
+
+def _box_muller(shape):
+    """Standard normals from the in-kernel PRNG (seed must be set)."""
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+    u1 = 1.0 - _bits_to_unit(b1)  # (0, 1]
+    u2 = _bits_to_unit(b2)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(2.0 * jnp.pi * u2)
+
+
+def evolve_overdamped_pallas(
+    z0,
+    w0,
+    betas,
+    eps,
+    vd_mean,
+    vd_logdiag,
+    grad_logp_t: Callable,
+    spec: OverdampedSpec,
+    *,
+    dim: int,
+    nbridges: int,
+    sn_weights=None,
+    sn_meta=None,
+    eps_schedule: str = "",
+    grad_clipping: bool = False,
+    seed=0,
+    block: int = 512,
+    noise: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+):
+    """Run nbridges overdamped steps fused on-core.
+
+    z0: (N, dim) initial chains; w0: (N,) initial log-weights.
+    grad_logp_t: transposed-layout target score (dim_pad, B) -> (dim_pad, B)
+    (ops/target_grads.py), traced INTO the kernel.
+    sn_weights/sn_meta: from pack_geffner_t (None for plain ULA).
+    noise: optional (nbridges, N, dim) pre-drawn normals for exact
+    equivalence tests; None uses the in-kernel PRNG.
+    Returns (z_final (N, dim), w (N,)).
+    """
+    n, d = z0.shape
+    assert d == dim
+    dim_pad = max(8, _round_up(dim, 8))
+    n_pad = _round_up(n, block)
+    nblocks = n_pad // block
+
+    use_sn = spec.fwd_sn or spec.bwd_sn
+    if use_sn:
+        assert sn_weights is not None and sn_meta is not None
+        emb_dim = sn_meta["emb_dim"]
+        in_dim = sn_meta["in_dim"]
+        sn_nbridges = sn_meta["nbridges"]
+        z_sel = jnp.zeros((in_dim, dim_pad)).at[:dim, :dim].set(jnp.eye(dim))
+        e_sel = (
+            jnp.zeros((in_dim, emb_dim))
+            .at[dim : dim + emb_dim, :]
+            .set(jnp.eye(emb_dim))
+        )
+
+    # ---- host-side packing into the transposed layout -------------------
+    z0_t = jnp.zeros((dim_pad, n_pad), jnp.float32).at[:dim, :n].set(z0.T)
+    w0_rows = jnp.zeros((8, n_pad), jnp.float32).at[0, :n].set(w0)
+    mean_t = jnp.zeros((dim_pad, 1), jnp.float32).at[:dim, 0].set(vd_mean)
+    inv_var_t = (
+        jnp.zeros((dim_pad, 1), jnp.float32)
+        .at[:dim, 0]
+        .set(jnp.exp(-2.0 * vd_logdiag))
+    )
+    row_mask = (jnp.arange(dim_pad) < dim).astype(jnp.float32)[:, None]
+    betas_smem = jnp.asarray(betas, jnp.float32).reshape(1, nbridges)
+    factor_sn = sn_weights["factor_sn"] if use_sn else 0.0
+    scalars = jnp.stack(
+        [jnp.asarray(eps, jnp.float32), jnp.asarray(factor_sn, jnp.float32)]
+    ).reshape(1, 2)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+
+    inject_noise = noise is not None
+    if inject_noise:
+        noise_t = (
+            jnp.zeros((nbridges, dim_pad, n_pad), jnp.float32)
+            .at[:, :dim, :n]
+            .set(jnp.swapaxes(noise, 1, 2))
+        )
+
+    clip_t = spec.clip_target if grad_clipping else None
+    clip_q = spec.clip_vd if grad_clipping else None
+
+    # ---- step math (closure-converted so constants become inputs) -------
+    def sn_apply(z, i, factor):
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (sn_nbridges, 1), 0)
+            == jnp.clip(i, 0, sn_nbridges - 1)
+        ).astype(jnp.float32)
+        emb_col = jnp.dot(
+            sn_weights["emb_t"], onehot, preferred_element_type=jnp.float32
+        )
+        h = jnp.dot(z_sel, z, preferred_element_type=jnp.float32) + jnp.dot(
+            e_sel, emb_col, preferred_element_type=jnp.float32
+        )
+        for w_t, b_col in sn_weights["layers"]:
+            h = h + jax.nn.softplus(
+                jnp.dot(w_t, h, preferred_element_type=jnp.float32) + b_col
+            )
+        head_w, head_b = sn_weights["head"]
+        out = jnp.dot(head_w, h, preferred_element_type=jnp.float32) + head_b
+        return out * factor
+
+    def grad_u_t(z, beta):
+        gt = grad_logp_t(z)
+        gq = -(z - mean_t) * inv_var_t
+        if clip_t is not None:
+            gt = jnp.clip(gt, -clip_t, clip_t)
+        if clip_q is not None:
+            gq = jnp.clip(gq, -clip_q, clip_q)
+        return -(beta * gt + (1.0 - beta) * gq) * row_mask
+
+    def eps_at(eps0, i):
+        fi = i.astype(jnp.float32)
+        if eps_schedule == "cos_sq":
+            phase = fi / nbridges
+            return eps0 * jnp.cos((phase + 0.008) / 1.008 * 0.5 * jnp.pi) ** 2
+        if eps_schedule == "linear":
+            return (1e-4 - eps0) / (nbridges - 1) * fi + eps0
+        return eps0
+
+    def step_core(z, w, xi, i, beta, eps0, factor):
+        eps_i = eps_at(eps0, i)
+        scale = jnp.sqrt(2.0 * eps_i)
+
+        fk_mean = z - eps_i * grad_u_t(z, beta)
+        if spec.fwd_sn:
+            fk_mean = fk_mean - eps_i * sn_apply(z, i, factor)
+        z_new = fk_mean + scale * xi
+
+        bk_mean = z_new - eps_i * grad_u_t(z_new, beta)
+        if spec.bwd_sn:
+            bk_mean = bk_mean + eps_i * sn_apply(
+                z_new, i + spec.bwd_sn_offset, factor
+            )
+
+        resid = (z - bk_mean) * (1.0 / scale)
+        delta = -0.5 * (
+            jnp.sum(resid * resid * row_mask, axis=0, keepdims=True)
+            - jnp.sum(xi * xi * row_mask, axis=0, keepdims=True)
+        )
+        return z_new, w + delta
+
+    example = (
+        jax.ShapeDtypeStruct((dim_pad, block), jnp.float32),  # z
+        jax.ShapeDtypeStruct((1, block), jnp.float32),        # w
+        jax.ShapeDtypeStruct((dim_pad, block), jnp.float32),  # xi
+        jax.ShapeDtypeStruct((), jnp.int32),                  # i
+        jax.ShapeDtypeStruct((), jnp.float32),                # beta
+        jax.ShapeDtypeStruct((), jnp.float32),                # eps0
+        jax.ShapeDtypeStruct((), jnp.float32),                # factor
+    )
+    # Trace the step once; its jaxpr constants (target constants, vd params,
+    # net weights, selectors) become explicit kernel inputs, re-bound on
+    # every call — nothing is baked into the compiled kernel.
+    closed_jaxpr = jax.make_jaxpr(step_core)(*example)
+    step_consts = closed_jaxpr.consts
+
+    def step_conv(z, w, xi, i, beta, eps0, factor, *consts):
+        out = jax.core.eval_jaxpr(
+            closed_jaxpr.jaxpr, consts, z, w, xi, i, beta, eps0, factor
+        )
+        return tuple(out)
+
+    # 0-d consts can't be VMEM inputs; lift them to (1, 1).
+    const_shapes = []
+    const_inputs = []
+    for c in step_consts:
+        c = jnp.asarray(c, jnp.float32 if c.dtype == jnp.float64 else c.dtype)
+        if c.ndim == 0:
+            c = c.reshape(1, 1)
+            const_shapes.append(("scalar", c.shape))
+        elif c.ndim == 1:
+            c = c.reshape(1, -1)
+            const_shapes.append(("vec", c.shape))
+        else:
+            const_shapes.append(("arr", c.shape))
+        const_inputs.append(c)
+
+    def kernel(*refs):
+        idx = 0
+        betas_ref = refs[idx]; idx += 1
+        scal_ref = refs[idx]; idx += 1
+        seed_ref = refs[idx]; idx += 1
+        z_ref = refs[idx]; idx += 1
+        w_ref = refs[idx]; idx += 1
+        noise_ref = None
+        if inject_noise:
+            noise_ref = refs[idx]; idx += 1
+        const_refs = refs[idx : idx + len(const_inputs)]
+        idx += len(const_inputs)
+        out_z_ref = refs[idx]; idx += 1
+        out_w_ref = refs[idx]; idx += 1
+
+        eps0 = scal_ref[0, 0]
+        factor = scal_ref[0, 1]
+
+        pid = pl.program_id(0)
+        if not inject_noise:
+            pltpu.prng_seed(seed_ref[0, 0] + pid)
+
+        consts = []
+        for (kind, shape), ref in zip(const_shapes, const_refs):
+            v = ref[:]
+            if kind == "scalar":
+                v = v[0, 0]
+            elif kind == "vec":
+                v = v[0]
+            consts.append(v)
+
+        def body(i, carry):
+            z, w = carry
+            beta = betas_ref[0, i]
+            if inject_noise:
+                xi = noise_ref[i]
+            else:
+                xi = _box_muller((dim_pad, block))
+            return step_conv(z, w, xi, i, beta, eps0, factor, *consts)
+
+        z = z_ref[:]
+        w = w_ref[0:1, :]
+        z, w = jax.lax.fori_loop(0, nbridges, body, (z, w))
+        out_z_ref[:] = z
+        out_w_ref[:] = jnp.broadcast_to(w, (8, block))
+
+    in_specs = [
+        pl.BlockSpec((1, nbridges), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    inputs = [betas_smem, scalars, seed_arr, z0_t, w0_rows]
+    if inject_noise:
+        in_specs.append(
+            pl.BlockSpec(
+                (nbridges, dim_pad, block),
+                lambda i: (0, 0, i),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(noise_t)
+    for c in const_inputs:
+        in_specs.append(
+            pl.BlockSpec(
+                c.shape, lambda i, nd=c.ndim: (0,) * nd, memory_space=pltpu.VMEM
+            )
+        )
+        inputs.append(c)
+
+    out_z_t, out_w = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((dim_pad, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        ],
+        # Generic interpret mode has no TPU PRNG; use the TPU interpreter
+        # when the kernel generates its own noise.
+        interpret=(pltpu.InterpretParams() if (interpret and not inject_noise) else interpret),
+    )(*inputs)
+
+    return out_z_t[:dim, :n].T, out_w[0, :n]

@@ -1,0 +1,197 @@
+"""Transposed-layout (dim, batch) score functions for the Pallas kernels.
+
+The fused time-stepping kernel (ops/pallas_overdamped.py) lays chain state
+out as (dim_pad, B) — chains on the TPU lane axis, dimensions on sublanes —
+so elementwise VPU ops and MXU matmuls stay dense for small-dim targets.
+These are hand-derived d/dz log pi(z) in that layout, each verified against
+autodiff of the batched targets in tests/test_target_grads.py.
+
+All functions take z_t of shape (dim_pad, B) where rows >= dim are zero
+padding, and must return gradients that are zero in the padded rows.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _row_mask(dim_pad: int, dim: int):
+    return (jnp.arange(dim_pad) < dim).astype(jnp.float32)[:, None]
+
+
+def make_std_normal_grad_t(dim: int, dim_pad: int):
+    mask = _row_mask(dim_pad, dim)
+
+    def grad_t(z_t):
+        return -z_t * mask
+
+    return grad_t
+
+
+def make_funnel_grad_t(dim: int, dim_pad: int, sig: float = 3.0):
+    """Neal's funnel (targets/funnel.py): v = z[0], x = z[1:].
+
+    d/dv = -v/sig^2 + 0.5 e^{-v} sum(x^2) - (d-1)/2
+    d/dx = -x e^{-v}
+    """
+    mask = _row_mask(dim_pad, dim)
+    is_v = (jnp.arange(dim_pad) == 0).astype(jnp.float32)[:, None]
+
+    def grad_t(z_t):
+        v = z_t[0:1, :]  # (1, B)
+        x = z_t * (mask - is_v)  # zero v row and padding
+        e_neg_v = jnp.exp(-v)
+        sum_x2 = jnp.sum(x * x, axis=0, keepdims=True)
+        dv = -v / (sig * sig) + 0.5 * e_neg_v * sum_x2 - 0.5 * (dim - 1)
+        dx = -x * e_neg_v
+        return dx * (mask - is_v) + dv * is_v
+
+    return grad_t
+
+
+def make_gmm_grad_t(dim_pad: int):
+    """3-component symmetrized 2-D mixture (targets/gmm.py).
+
+    grad log p(x) with p = 0.5 (f(x) + f(Sx)), S the coordinate swap:
+    grad = sum over the 6 (component, branch) pairs of softmax
+    responsibilities times per-pair Gaussian gradients. Written with 2-D
+    elementwise ops only (the 3 components are unrolled in Python) so it
+    traces inside Pallas kernels.
+    """
+    import numpy as onp
+
+    from cmcd_tpu.targets.gmm import _COVS, _MEANS
+
+    means = onp.asarray(_MEANS)  # (3, 2)
+    precs = onp.linalg.inv(onp.asarray(_COVS))  # (3, 2, 2)
+    chols = onp.linalg.cholesky(onp.asarray(_COVS))
+    log_norm = -onp.log(2 * onp.pi) - onp.sum(
+        onp.log(onp.diagonal(chols, axis1=-2, axis2=-1)), axis=-1
+    )  # (3,)
+
+    def branch_stats(x1, x2):
+        """Per-component log-density and gradient pieces for one branch.
+
+        Returns lists of (logp (1,B)) and ((g1, g2) each (1,B))."""
+        logps, grads = [], []
+        for k in range(3):
+            d1 = x1 - means[k, 0]
+            d2 = x2 - means[k, 1]
+            p11, p12, p22 = precs[k, 0, 0], precs[k, 0, 1], precs[k, 1, 1]
+            y1 = p11 * d1 + p12 * d2
+            y2 = p12 * d1 + p22 * d2
+            logps.append(-0.5 * (d1 * y1 + d2 * y2) + log_norm[k])
+            grads.append((-y1, -y2))
+        return logps, grads
+
+    def grad_t(z_t):
+        x1 = z_t[0:1, :]
+        x2 = z_t[1:2, :]
+        logp_a, grads_a = branch_stats(x1, x2)
+        logp_b, grads_b = branch_stats(x2, x1)  # swapped branch
+        logp_all = jnp.concatenate(logp_a + logp_b, axis=0)  # (6, B)
+        m = jnp.max(logp_all, axis=0, keepdims=True)
+        r = jnp.exp(logp_all - m)
+        r = r / jnp.sum(r, axis=0, keepdims=True)  # (6, B)
+        g1 = jnp.zeros_like(x1)
+        g2 = jnp.zeros_like(x2)
+        for k in range(3):
+            rk = r[k : k + 1, :]
+            g1 = g1 + rk * grads_a[k][0]
+            g2 = g2 + rk * grads_a[k][1]
+        for k in range(3):
+            rk = r[3 + k : 4 + k, :]
+            # swapped branch: gradient w.r.t. (x1, x2) swaps back
+            g1 = g1 + rk * grads_b[k][1]
+            g2 = g2 + rk * grads_b[k][0]
+        return jnp.concatenate(
+            [g1, g2, jnp.zeros((z_t.shape[0] - 2, z_t.shape[1]), z_t.dtype)],
+            axis=0,
+        )
+
+    return grad_t
+
+
+def make_many_gmm_grad_t(dim_pad: int, n_mixes: int = 40, loc_scaling: float = 40.0,
+                         log_var_scaling: float = 0.1, seed: int = 0):
+    """40-mode isotropic-per-dim GMM (targets/gmm.py make_many_gmm).
+
+    grad log p = sum_k r_k(x) (m_k - x) / s^2 with softmax responsibilities.
+    The -1e4 floor of the batched log_prob maps to -inf outside the support;
+    its gradient there is 0 in the batched path (jnp.where) — the kernel path
+    ignores the floor (gradients are equal where it matters).
+    """
+    import jax
+
+    key = jax.random.PRNGKey(seed)
+    means = (
+        jax.random.uniform(shape=(n_mixes, 2), key=key, minval=-1.0, maxval=1.0)
+        * loc_scaling
+    )  # (K, 2)
+    scale = jax.nn.softplus(jnp.ones((n_mixes, 2)) * log_var_scaling)
+    inv_var = 1.0 / (scale * scale)
+    log_norm = -jnp.sum(jnp.log(scale), axis=-1) - jnp.log(2 * jnp.pi)
+
+    # 2-D formulation (Pallas-traceable):
+    # logp_k(x) = c_k + (M_w x)_k - 0.5 (x^2 . inv_var), with
+    # M_w = means * inv_var and c_k = log_norm_k - 0.5 sum_i m_ki^2 inv_i.
+    # grad = inv_var * (means^T r - x)  since sum_k r_k = 1.
+    m_w = means * inv_var  # (K, 2)
+    c = log_norm - 0.5 * jnp.sum(means * means * inv_var, axis=-1)  # (K,)
+
+    def grad_t(z_t):
+        x = z_t[0:2, :]  # (2, B)
+        # (K, 2) @ (2, B) -> (K, B); the per-component quadratic term is a
+        # second matmul on x^2 (inv_var differs per component and per dim).
+        lin = jnp.dot(m_w, x, preferred_element_type=jnp.float32)
+        quad_k = -0.5 * jnp.dot(inv_var, x * x, preferred_element_type=jnp.float32)
+        logp = lin + quad_k + c[:, None]  # (K, B)
+        m = jnp.max(logp, axis=0, keepdims=True)
+        r = jnp.exp(logp - m)
+        r = r / jnp.sum(r, axis=0, keepdims=True)  # (K, B)
+        # grad_i = sum_k r_k inv_ki (m_ki - x_i)
+        #        = (M_w^T r)_i - x_i * (inv_var^T r)_i
+        g = jnp.dot(m_w.T, r, preferred_element_type=jnp.float32) - x * jnp.dot(
+            inv_var.T, r, preferred_element_type=jnp.float32
+        )
+        return jnp.concatenate(
+            [g, jnp.zeros((z_t.shape[0] - 2, z_t.shape[1]), z_t.dtype)], axis=0
+        )
+
+    return grad_t
+
+
+def make_logreg_grad_t(dset: str, dim: int, dim_pad: int):
+    """Bayesian logistic regression (targets/logreg.py):
+    grad = -w + X^T (y - sigmoid(Xw)). MXU matmuls in both directions."""
+    import jax
+
+    from cmcd_tpu.targets.logreg import load_logreg_data
+
+    x, y = load_logreg_data(dset)  # (n_data, dim), (n_data,)
+    x_pad = jnp.zeros((x.shape[0], dim_pad), x.dtype).at[:, :dim].set(x)
+    mask = _row_mask(dim_pad, dim)
+
+    def grad_t(z_t):
+        logits = x_pad @ z_t  # (n_data, B)
+        resid = y[:, None] - jax.nn.sigmoid(logits)
+        return (-z_t + x_pad.T @ resid) * mask
+
+    return grad_t
+
+
+TARGET_GRAD_T_BUILDERS = {
+    "funnel": lambda target, dim_pad: make_funnel_grad_t(target.dim, dim_pad),
+    "gmm": lambda target, dim_pad: make_gmm_grad_t(dim_pad),
+    "many_gmm": lambda target, dim_pad: make_many_gmm_grad_t(dim_pad),
+    "log_sonar": lambda target, dim_pad: make_logreg_grad_t("sonar", target.dim, dim_pad),
+    "log_ionosphere": lambda target, dim_pad: make_logreg_grad_t(
+        "ionosphere", target.dim, dim_pad
+    ),
+}
+
+
+def grad_t_for_target(target, dim_pad: int):
+    """Transposed-layout gradient for a known target, or None."""
+    builder = TARGET_GRAD_T_BUILDERS.get(target.name)
+    return builder(target, dim_pad) if builder else None

@@ -1,0 +1,9 @@
+from cmcd_tpu.utils.logging import MetricLogger, ThroughputMeter
+from cmcd_tpu.utils.sinkhorn import calculate_w2_distances, sinkhorn_w2
+
+__all__ = [
+    "MetricLogger",
+    "ThroughputMeter",
+    "calculate_w2_distances",
+    "sinkhorn_w2",
+]

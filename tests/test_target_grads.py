@@ -1,0 +1,74 @@
+"""Transposed-layout analytic gradients vs autodiff of the batched targets."""
+
+import jax
+import jax.numpy as jnp
+import numpy as onp
+import pytest
+
+from cmcd_tpu.ops import target_grads as tg
+from cmcd_tpu.targets import load_target
+
+
+def autodiff_grad(target, z):
+    return jax.grad(lambda zz: jnp.sum(target.log_prob(zz)))(z)
+
+
+def check(target, grad_t, dim_pad, scale=1.0, n=64, atol=1e-4):
+    key = jax.random.PRNGKey(0)
+    z = jax.random.normal(key, (n, target.dim)) * scale
+    want = onp.asarray(autodiff_grad(target, z))
+    z_t = jnp.zeros((dim_pad, n)).at[: target.dim, :].set(z.T)
+    got = onp.asarray(grad_t(z_t))
+    onp.testing.assert_allclose(got[: target.dim].T, want, atol=atol, rtol=1e-3)
+    # Padded rows must be exactly zero.
+    assert (got[target.dim :] == 0).all()
+
+
+def test_funnel_grad_t():
+    t = load_target("funnel")
+    check(t, tg.make_funnel_grad_t(t.dim, 16), 16, scale=1.5)
+
+
+def test_gmm_grad_t():
+    t = load_target("gmm")
+    check(t, tg.make_gmm_grad_t(8), 8, scale=3.0)
+
+
+def test_many_gmm_grad_t():
+    t = load_target("many_gmm")
+    # Wide draws to hit several modes; the batched log_prob floors at -1e4 ->
+    # -inf, whose grad is 0; restrict to points above the floor.
+    key = jax.random.PRNGKey(1)
+    z = jax.random.normal(key, (128, 2)) * 20.0
+    lp = t.log_prob(z)
+    z = z[jnp.isfinite(lp)]
+    want = onp.asarray(autodiff_grad(t, z))
+    grad_t = tg.make_many_gmm_grad_t(8)
+    z_t = jnp.zeros((8, z.shape[0])).at[:2, :].set(z.T)
+    got = onp.asarray(grad_t(z_t))
+    onp.testing.assert_allclose(got[:2].T, want, atol=2e-4, rtol=1e-3)
+
+
+def test_std_normal_grad_t():
+    from cmcd_tpu.targets.base import Target
+
+    t = Target(
+        name="stdnorm",
+        dim=5,
+        log_prob=lambda z: -0.5 * jnp.sum(z * z + jnp.log(2 * jnp.pi), axis=-1),
+    )
+    check(t, tg.make_std_normal_grad_t(5, 8), 8)
+
+
+@pytest.mark.parametrize("dset,name", [("sonar", "log_sonar"), ("ionosphere", "log_ionosphere")])
+def test_logreg_grad_t(dset, name):
+    t = load_target(name)
+    dim_pad = ((t.dim + 7) // 8) * 8
+    check(t, tg.make_logreg_grad_t(dset, t.dim, dim_pad), dim_pad, scale=0.3, atol=3e-3)
+
+
+def test_registry():
+    t = load_target("many_gmm")
+    assert tg.grad_t_for_target(t, 8) is not None
+    t2 = load_target("seeds")
+    assert tg.grad_t_for_target(t2, 32) is None
