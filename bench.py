@@ -31,19 +31,29 @@ import optax
 
 
 def time_steps(step_fn, init_state, iters: int):
-    """Median wall-clock of jitted step_fn over `iters` timed calls."""
+    """Median wall-clock of step_fn over `iters` timed calls.
+
+    step_fn must already be compiled via cmcd_tpu.utils.const_hoisted_jit:
+    on this TPU stack, embedded HLO array constants cost a fixed ~30 ms per
+    execution (and explode compile times); hoisting them to runtime args is
+    required for honest measurements. Both sides of the A/B get the same
+    treatment.
+    """
+    def materialize(state):
+        # On this stack block_until_ready returns before the remote
+        # computation finishes; pulling a scalar to host is the only
+        # reliable completion barrier.
+        return float(jax.tree_util.tree_leaves(state)[0].ravel()[0])
+
     state = init_state
     # Warmup / compile.
-    state = step_fn(state, 0)
-    jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
-    times = []
-    for i in range(iters):
-        t0 = time.perf_counter()
-        state = step_fn(state, i + 1)
-        jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2]
+    state = step_fn(state)
+    materialize(state)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state = step_fn(state)
+    materialize(state)  # chained data dependency forces all iters
+    return (time.perf_counter() - t0) / iters
 
 
 def bench_tpu_native(n, nbridges, iters):
@@ -66,9 +76,8 @@ def bench_tpu_native(n, nbridges, iters):
     opt_state = opt.init(params["train"])
     notrain = params["notrain"]
 
-    @jax.jit
-    def train_step(state, i):
-        train_p, opt_state, key = state
+    def train_step(state):
+        train_p, notrain, opt_state, key = state
         key, step_key = jax.random.split(key)
 
         def loss(tr):
@@ -80,10 +89,13 @@ def bench_tpu_native(n, nbridges, iters):
         updates, opt_state = opt.update(grads, opt_state, train_p)
         train_p = optax.apply_updates(train_p, updates)
         train_p = project(train_p, trainable)
-        return (train_p, opt_state, key)
+        return (train_p, notrain, opt_state, key)
 
-    state = (params["train"], opt_state, jax.random.PRNGKey(0))
-    return time_steps(train_step, state, iters)
+    from cmcd_tpu.utils import const_hoisted_jit
+
+    state = (params["train"], notrain, opt_state, jax.random.PRNGKey(0))
+    step = const_hoisted_jit(train_step, state)
+    return time_steps(step, state, iters)
 
 
 def bench_reference_style(n, nbridges, iters):
@@ -115,21 +127,28 @@ def bench_reference_style(n, nbridges, iters):
         "eps": jnp.asarray(0.65),
         "sn": sn,
         "mgridref_y": mg,
+        "gridref_x": gx,
+        "target_x": tx,
     }
     opt = optax.chain(optax.clip(5.0), optax.adam(1e-3))
     # Reference trains (eta, gamma, sn, mgridref_y); grads flow to sn and
     # mgridref_y here — equivalent work.
     opt_state = opt.init(params)
 
-    @jax.jit
-    def train_step(state, i):
+    def train_step(state):
         params, opt_state, key = state
         key, step_key = jax.random.split(key)
         # Reference draws N integer seeds per step (src/opt.py:94).
         seeds = jax.random.randint(step_key, (n,), 1, int(1e6))
 
         def loss(p):
-            b = betas_from_grid(p["mgridref_y"], gx, tx)
+            # gridref_x/target_x are frozen buffers in the reference
+            # (notrain + stop_gradient, src/mcdboundingmachine.py:113-114,142).
+            b = betas_from_grid(
+                p["mgridref_y"],
+                jax.lax.stop_gradient(p["gridref_x"]),
+                jax.lax.stop_gradient(p["target_x"]),
+            )
             return loss_fn(seeds, p, b)
 
         (l, _), grads = jax.value_and_grad(loss, has_aux=True)(params)
@@ -137,8 +156,11 @@ def bench_reference_style(n, nbridges, iters):
         params = optax.apply_updates(params, updates)
         return (params, opt_state, key)
 
+    from cmcd_tpu.utils import const_hoisted_jit
+
     state = (params, opt_state, jax.random.PRNGKey(0))
-    return time_steps(train_step, state, iters)
+    step = const_hoisted_jit(train_step, state)
+    return time_steps(step, state, iters)
 
 
 def main():

@@ -1,0 +1,64 @@
+"""Utility tests: const-hoisted jit, Sinkhorn W2, metric logger."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as onp
+
+from cmcd_tpu.utils import MetricLogger, const_hoisted_jit, sinkhorn_w2
+
+
+def test_const_hoisted_jit_matches_plain_jit():
+    c = jnp.arange(8.0)  # captured constant
+
+    def fn(x, y):
+        return {"a": x * c + y["b"], "s": jnp.sum(x)}
+
+    x = jnp.ones(8)
+    y = {"b": jnp.full(8, 2.0)}
+    hoisted = const_hoisted_jit(fn, x, y)
+    got = hoisted(x, y)
+    want = jax.jit(fn)(x, y)
+    onp.testing.assert_allclose(onp.asarray(got["a"]), onp.asarray(want["a"]))
+    onp.testing.assert_allclose(float(got["s"]), float(want["s"]))
+
+
+def test_const_hoisted_jit_rejects_wrong_structure():
+    def fn(x):
+        return x + 1
+
+    hoisted = const_hoisted_jit(fn, jnp.ones(4))
+    try:
+        hoisted({"oops": jnp.ones(4)})
+        assert False, "expected TypeError"
+    except TypeError:
+        pass
+
+
+def test_sinkhorn_w2_zero_for_identical_clouds():
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 2))
+    d_self = float(sinkhorn_w2(x, x))
+    y = x + 5.0
+    d_far = float(sinkhorn_w2(x, y))
+    assert d_self < d_far
+    assert d_far > 0.1
+
+
+def test_sinkhorn_w2_symmetryish():
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 2))
+    y = jax.random.normal(jax.random.PRNGKey(2), (64, 2)) + 1.0
+    a, b = float(sinkhorn_w2(x, y)), float(sinkhorn_w2(y, x))
+    onp.testing.assert_allclose(a, b, rtol=1e-3)
+
+
+def test_metric_logger_jsonl(tmp_path):
+    path = os.path.join(tmp_path, "m.jsonl")
+    logger = MetricLogger(path)
+    logger.log({"loss": 1.5}, step=3)
+    logger.log({"loss": jnp.asarray(0.5)}, step=4)
+    logger.close()
+    lines = [json.loads(l) for l in open(path)]
+    assert lines[0]["loss"] == 1.5 and lines[0]["step"] == 3
+    assert lines[1]["loss"] == 0.5
