@@ -92,6 +92,20 @@ def run_experiment(config, logger: MetricLogger | None = None):
         seed=config.seed,
     )
 
+    # Fused Pallas paths where supported (overdamped modes on targets with a
+    # registered transposed score; ops/fused.py).
+    eval_elbo_fn = None
+    if config.use_pallas_eval and jax.default_backend() == "tpu":
+        from cmcd_tpu.ops import compute_elbos_fused, supports_fused
+
+        if supports_fused(setup, target):
+            eval_elbo_fn = lambda p, k, n: compute_elbos_fused(p, k, n, setup, target)
+            print("Using fused Pallas evaluation path.")
+            # Training defaults to the XLA scan loss: its BPTT backward is
+            # on par with the trajectory-replay gradient at flagship scale
+            # and compiles much faster. ops.fused_vargrad.var_bound_fused is
+            # the verified-exact alternative (pass via train(loss_fn=...)).
+
     meter = ThroughputMeter(config.N, config.nbridges)
 
     def callback(step, info, z):
@@ -138,6 +152,7 @@ def run_experiment(config, logger: MetricLogger | None = None):
         key=eval_key,
         n_samples=config.n_samples,
         n_input_dist_seeds=config.n_input_dist_seeds,
+        elbo_fn=eval_elbo_fn,
     )
     print("Done training, got ELBO %.2f." % out["final_elbo"])
     print("Done training, got ln Z %.2f." % out["final_ln_Z"])
@@ -158,6 +173,7 @@ def run_experiment(config, logger: MetricLogger | None = None):
             key=eval_key,
             n_samples=config.n_samples,
             n_input_dist_seeds=config.n_input_dist_seeds,
+            elbo_fn=eval_elbo_fn,
         )
         print("With EMA, got ELBO %.2f." % out_ema["final_elbo"])
         print("With EMA, got ln Z %.2f." % out_ema["final_ln_Z"])

@@ -53,15 +53,38 @@ def build_geffner_network(x_dim, emb_dim, nbridges, rho_dim=0, nlayers=2):
             "factor_sn": jnp.zeros(()),
         }
 
+    def _body(params, h):
+        for layer in params["layers"]:
+            h = h + jax.nn.softplus(_dense_apply(layer, h))
+        out = _dense_apply(params["head"], h)
+        return out * params["factor_sn"]
+
     def apply_fn(params, x, i):
         """x: (N, x_dim + rho_dim), i: int scalar -> (N, x_dim)."""
         i = jnp.clip(i, 0, nbridges - 1)
         emb = params["emb"][i]  # (emb_dim,)
         n = x.shape[0]
         h = jnp.concatenate([x, jnp.broadcast_to(emb, (n, emb.shape[0]))], axis=-1)
-        for layer in params["layers"]:
-            h = h + jax.nn.softplus(_dense_apply(layer, h))
-        out = _dense_apply(params["head"], h)
-        return out * params["factor_sn"]
+        return _body(params, h)
 
+    def apply_blocks_fn(params, x, steps):
+        """Per-step blocks: x (S, N, x_dim + rho_dim), steps (S,) int ->
+        (S, N, x_dim).
+
+        All S*N applications run as ONE dense (S*N, in) @ (in, in) matmul
+        per layer (a vmap over steps emits S tiny batched matmuls and is
+        latency-bound). The embedding gather touches only S rows and its
+        gradient is a cheap per-block reduction — a per-row gather over
+        S*N rows would backprop through a giant scatter-add, which
+        serializes on TPU. Used by ops/fused_vargrad.py.
+        """
+        s, n, xd = x.shape
+        emb = params["emb"][jnp.clip(steps, 0, nbridges - 1)]  # (S, emb_dim)
+        h = jnp.concatenate(
+            [x, jnp.broadcast_to(emb[:, None, :], (s, n, emb.shape[-1]))],
+            axis=-1,
+        ).reshape(s * n, xd + emb.shape[-1])
+        return _body(params, h).reshape(s, n, x_dim)
+
+    apply_fn.apply_blocks = apply_blocks_fn
     return init_fn, apply_fn

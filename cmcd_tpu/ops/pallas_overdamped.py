@@ -114,6 +114,7 @@ def evolve_overdamped_pallas(
     seed=0,
     block: int = 512,
     noise: Optional[jnp.ndarray] = None,
+    return_trajectory: bool = False,
     interpret: bool = False,
 ):
     """Run nbridges overdamped steps fused on-core.
@@ -124,11 +125,15 @@ def evolve_overdamped_pallas(
     sn_weights/sn_meta: from pack_geffner_t (None for plain ULA).
     noise: optional (nbridges, N, dim) pre-drawn normals for exact
     equivalence tests; None uses the in-kernel PRNG.
-    Returns (z_final (N, dim), w (N,)).
+    return_trajectory: additionally return the pre-step states
+    z_traj (nbridges, N, dim) (z_traj[i] is the state BEFORE step i) — the
+    residuals for the trajectory-replay VarGrad gradient (ops/fused.py).
+    Returns (z_final (N, dim), w (N,)[, z_traj]).
     """
     n, d = z0.shape
     assert d == dim
     dim_pad = max(8, _round_up(dim, 8))
+    block = _round_up(block, LANE)
     n_pad = _round_up(n, block)
     nblocks = n_pad // block
 
@@ -283,6 +288,9 @@ def evolve_overdamped_pallas(
         idx += len(const_inputs)
         out_z_ref = refs[idx]; idx += 1
         out_w_ref = refs[idx]; idx += 1
+        traj_ref = None
+        if return_trajectory:
+            traj_ref = refs[idx]; idx += 1
 
         eps0 = scal_ref[0, 0]
         factor = scal_ref[0, 1]
@@ -302,6 +310,8 @@ def evolve_overdamped_pallas(
 
         def body(i, carry):
             z, w = carry
+            if return_trajectory:
+                traj_ref[i] = z
             beta = betas_ref[0, i]
             if inject_noise:
                 xi = noise_ref[i]
@@ -340,21 +350,41 @@ def evolve_overdamped_pallas(
         )
         inputs.append(c)
 
-    out_z_t, out_w = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((dim_pad, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+    ]
+    if return_trajectory:
+        out_specs.append(
+            pl.BlockSpec(
+                (nbridges, dim_pad, block),
+                lambda i: (0, 0, i),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((nbridges, dim_pad, n_pad), jnp.float32)
+        )
+
+    outs = pl.pallas_call(
         kernel,
         grid=(nblocks,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((dim_pad, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         # Generic interpret mode has no TPU PRNG; use the TPU interpreter
         # when the kernel generates its own noise.
         interpret=(pltpu.InterpretParams() if (interpret and not inject_noise) else interpret),
     )(*inputs)
 
-    return out_z_t[:dim, :n].T, out_w[0, :n]
+    out_z_t, out_w = outs[0], outs[1]
+    z_final = out_z_t[:dim, :n].T
+    w = out_w[0, :n]
+    if return_trajectory:
+        traj = jnp.swapaxes(outs[2][:, :dim, :n], 1, 2)  # (K, N, dim)
+        return z_final, w, traj
+    return z_final, w

@@ -180,6 +180,62 @@ def make_logreg_grad_t(dset: str, dim: int, dim_pad: int):
     return grad_t
 
 
+def make_lgcp_grad_t(dim_pad: int, use_whitened: bool = False):
+    """LGCP (targets/lgcp.py), 1600-dim. Unwhitened:
+    grad = -Sigma^{-1}(z - mu) + counts - a exp(z), with Sigma^{-1}(z-mu)
+    computed as L^{-T} (L^{-1} (z - mu)) — two dense (D, D) @ (D, B) MXU
+    matmuls. Whitened: grad = -w + L^T (counts - a exp(Lw + mu))."""
+    import numpy as onp
+
+    from cmcd_tpu.targets import lgcp as L
+
+    num_dim = 1600
+    num_grid = 40
+    bin_vals = L.get_bin_vals(num_grid)
+    gram = L.gram_matrix(bin_vals, 1.91, num_grid, 1.0 / 33)
+    chol = onp.linalg.cholesky(gram)
+    chol_inv = onp.linalg.inv(chol)
+    import os
+
+    pines = onp.genfromtxt(
+        os.path.join(os.path.dirname(L.__file__), "data", "pines.csv"),
+        delimiter=",",
+    )
+    counts = L.get_bin_counts(pines, num_grid).reshape(num_dim)
+    mu = onp.log(126.0) - 0.5 * 1.91
+    a = 1.0 / num_dim
+
+    chol_f = jnp.asarray(chol, jnp.float32)
+    # Single precomputed Sigma^{-1} (host, float64) so the in-kernel prior
+    # gradient is ONE (D, D) @ (D, B) matmul with one 10 MB VMEM constant
+    # (holding both L^{-1} and L^{-T} would not fit VMEM).
+    gram_inv = jnp.asarray(
+        chol_inv.T @ chol_inv, jnp.float32
+    )
+    counts_col = jnp.asarray(counts, jnp.float32)[:, None]
+
+    def grad_unwhitened(z_t):
+        z = z_t[:num_dim]
+        g_prior = -jnp.dot(gram_inv, z - mu, preferred_element_type=jnp.float32)
+        g = g_prior + counts_col - a * jnp.exp(z)
+        if dim_pad == num_dim:
+            return g
+        pad = jnp.zeros((dim_pad - num_dim, z_t.shape[1]), z_t.dtype)
+        return jnp.concatenate([g, pad], axis=0)
+
+    def grad_whitened(w_t):
+        w = w_t[:num_dim]
+        latents = jnp.dot(chol_f, w, preferred_element_type=jnp.float32) + mu
+        resid = counts_col - a * jnp.exp(latents)
+        g = -w + jnp.dot(chol_f.T, resid, preferred_element_type=jnp.float32)
+        if dim_pad == num_dim:
+            return g
+        pad = jnp.zeros((dim_pad - num_dim, w_t.shape[1]), w_t.dtype)
+        return jnp.concatenate([g, pad], axis=0)
+
+    return grad_whitened if use_whitened else grad_unwhitened
+
+
 TARGET_GRAD_T_BUILDERS = {
     "funnel": lambda target, dim_pad: make_funnel_grad_t(target.dim, dim_pad),
     "gmm": lambda target, dim_pad: make_gmm_grad_t(dim_pad),
@@ -188,6 +244,10 @@ TARGET_GRAD_T_BUILDERS = {
     "log_ionosphere": lambda target, dim_pad: make_logreg_grad_t(
         "ionosphere", target.dim, dim_pad
     ),
+    # NOTE: loaded LGCP targets default to unwhitened (reference paper runs,
+    # src/model_handler.py README); whitened callers should build
+    # make_lgcp_grad_t(dim_pad, use_whitened=True) directly.
+    "lgcp": lambda target, dim_pad: make_lgcp_grad_t(dim_pad),
 }
 
 

@@ -26,18 +26,27 @@ def evaluate(
     key,
     n_samples: int = 500,
     n_input_dist_seeds: int = 30,
+    elbo_fn=None,
 ):
     """Returns a dict with final_elbo / final_ln_Z (+stds), the full
     (n_seeds, n_samples) negative-ELBO matrix, and final samples.
 
     ELBO_s = mean_i(-L_si); ln Z_s = logsumexp_i(-L_si) - log n_samples;
     reported values are means over s with stds (src/utils.py:219-248).
+
+    elbo_fn: optional (params, key, n) -> (neg_elbos, z) override — e.g. the
+    fused Pallas path (ops.compute_elbos_fused) or a sharded one
+    (parallel.sharded_compute_elbos).
     """
     keys = jax.random.split(key, n_input_dist_seeds)
 
+    if elbo_fn is None:
+        def elbo_fn(p, k, n):
+            return bounds.compute_elbos(p, k, n, ctx, setup)
+
     @jax.jit
     def one_group(k):
-        return bounds.compute_elbos(params, k, n_samples, ctx, setup)
+        return elbo_fn(params, k, n_samples)
 
     neg_elbos, zs = jax.lax.map(one_group, keys)  # (S, n), (S, n, dim)
 

@@ -72,3 +72,23 @@ def test_registry():
     assert tg.grad_t_for_target(t, 8) is not None
     t2 = load_target("seeds")
     assert tg.grad_t_for_target(t2, 32) is None
+
+
+def test_lgcp_grad_t():
+    t = load_target("lgcp")
+    grad_t = tg.make_lgcp_grad_t(1600)
+    z = jax.random.normal(jax.random.PRNGKey(5), (4, 1600)) * 0.5 + 2.0
+    want = onp.asarray(autodiff_grad(t, z))
+    got = onp.asarray(grad_t(z.T))
+    onp.testing.assert_allclose(got.T, want, atol=2e-2, rtol=1e-3)
+
+
+def test_lgcp_grad_t_whitened():
+    from cmcd_tpu.targets.lgcp import make_lgcp
+
+    t = make_lgcp(use_whitened=True)
+    grad_t = tg.make_lgcp_grad_t(1600, use_whitened=True)
+    w = jax.random.normal(jax.random.PRNGKey(6), (4, 1600)) * 0.3
+    want = onp.asarray(autodiff_grad(t, w))
+    got = onp.asarray(grad_t(w.T))
+    onp.testing.assert_allclose(got.T, want, atol=2e-2, rtol=1e-3)
