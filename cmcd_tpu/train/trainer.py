@@ -90,14 +90,13 @@ def train(
     log_every = log_every or max(iters // 1000, 1)
     callback_every = callback_every or max(iters // 100, 1)
 
-    def loss_of(train_p, step_key):
-        full = {"train": train_p, "notrain": notrain}
-        return loss_fn(full, step_key, batch_size, ctx, setup)
+    def update_fn(train_p, notrain, opt_state, ema, step_key):
+        def loss_of(train_p):
+            full = {"train": train_p, "notrain": notrain}
+            return loss_fn(full, step_key, batch_size, ctx, setup)
 
-    @jax.jit
-    def update(train_p, opt_state, ema, step_key):
         (loss, (neg_elbos, z)), grads = jax.value_and_grad(loss_of, has_aux=True)(
-            train_p, step_key
+            train_p
         )
         updates, opt_state = optimizer.update(grads, opt_state, train_p)
         train_p = optax.apply_updates(train_p, updates)
@@ -108,6 +107,15 @@ def train(
         return train_p, opt_state, ema, loss, grad_mean, neg_elbos, z
 
     train_p = params["train"]
+    # Hoist target constants (means, Cholesky factors, datasets the target
+    # log-prob closes over) out of the executable — embedded constants cost
+    # ~30 ms host dispatch per call on this TPU stack (utils/jit.py).
+    from cmcd_tpu.utils.jit import const_hoisted_jit
+
+    update = const_hoisted_jit(
+        update_fn, train_p, notrain, opt_state, ema, jax.random.PRNGKey(0)
+    )
+
     losses = []
     diverged = False
     last_finite = train_p
@@ -116,7 +124,7 @@ def train(
     for i in range(iters):
         key, step_key = jax.random.split(key)
         train_p, opt_state, ema, loss, grad_mean, neg_elbos, z = update(
-            train_p, opt_state, ema, step_key
+            train_p, notrain, opt_state, ema, step_key
         )
         steps_done = i + 1
 
