@@ -46,12 +46,16 @@ CAIS_UHA = UnderdampedSpec(refresh="approx", bwd_sn="full", fwd_sn=True, cais=Tr
 
 
 def evolve_underdamped(
-    key, z, betas, params, ctx: IntegratorContext, spec: UnderdampedSpec
+    key, z, betas, params, ctx: IntegratorContext, spec: UnderdampedSpec, noise=None
 ):
     """Run nbridges underdamped leapfrog steps. z: (N, dim).
 
     Returns (z, w_delta, aux). The initial momentum draw and endpoint
     corrections are included in w_delta.
+
+    noise: optional (nbridges + 1, N, dim) normals — noise[0] replaces the
+    initial momentum draw, noise[1:] the per-step refresh draws (for
+    bit-level equivalence tests vs ops/pallas_underdamped.py).
     """
     n, dim = z.shape
     apply_sn = ctx.apply_sn
@@ -98,8 +102,12 @@ def evolve_underdamped(
             sn_in = jnp.concatenate([z, rho], axis=-1)
             fk_mean = fk_mean - 2.0 * eta_aux * apply_sn(params["sn"], sn_in, i)
 
-        noise_key, _ = step_keys(key, i)
-        rho_prime = fk_mean + fwd_scale * jax.random.normal(noise_key, rho.shape)
+        if noise is None:
+            noise_key, _ = step_keys(key, i)
+            xi = jax.random.normal(noise_key, rho.shape)
+        else:
+            xi = noise[i + 1]
+        rho_prime = fk_mean + fwd_scale * xi
 
         # --- One leapfrog step -----------------------------------------
         rho_pp = rho_prime - eps * grad_u(z, beta) / 2.0
@@ -134,8 +142,11 @@ def evolve_underdamped(
     # Initial momentum ~ N(0, I); endpoint corrections
     # (src/mcd_under_lp_a.py:65-71,82-85).
     # Step keys fold in 0..nbridges-1; index nbridges is free for this draw.
-    rho_key = jax.random.fold_in(key, ctx.nbridges)
-    rho = jax.random.normal(rho_key, (n, dim))
+    if noise is None:
+        rho_key = jax.random.fold_in(key, ctx.nbridges)
+        rho = jax.random.normal(rho_key, (n, dim))
+    else:
+        rho = noise[0]
     w0 = -std_normal_log_prob(rho)
 
     (z, rho, w), _ = jax.lax.scan(step, (z, rho, w0), jnp.arange(ctx.nbridges))

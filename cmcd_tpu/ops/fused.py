@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from cmcd_tpu import bounds
 from cmcd_tpu.distributions import diag_gaussian_log_prob, diag_gaussian_sample
 from cmcd_tpu.integrators import overdamped as od
+from cmcd_tpu.integrators import underdamped as ud
 from cmcd_tpu.ops.pallas_overdamped import evolve_overdamped_pallas, pack_geffner_t
 from cmcd_tpu.ops.target_grads import grad_t_for_target
 from cmcd_tpu.schedules import betas_from_grid
@@ -29,16 +30,29 @@ _PALLAS_SPECS = {
     "MCD_CAIS_var_sn": od.CAIS_VAR,
 }
 
+# (spec, full_sn) for the underdamped kernel (ops/pallas_underdamped.py).
+_PALLAS_UD_SPECS = {
+    "MCD_U_a-lp": (ud.U_A_LP, False),
+    "MCD_U_a-lp-sna": (ud.U_A_LP_SNA, False),
+    "MCD_U_a-lp-sn": (ud.U_A_LP_SN, True),
+    "MCD_U_e-lp": (ud.U_E_LP, False),
+    "MCD_U_e-lp-sna": (ud.U_E_LP_SNA, False),
+    "MCD_U_ea-lp-sn": (ud.U_EA_LP_SN, True),
+    "MCD_CAIS_UHA_sn": (ud.CAIS_UHA, True),
+}
+
+_SN_FREE_MODES = ("MCD_ULA", "MCD_U_a-lp", "MCD_U_e-lp")
+
 
 def _dim_pad(dim: int) -> int:
     return max(8, ((dim + 7) // 8) * 8)
 
 
 def supports_fused(setup: bounds.CMCDSetup, target) -> bool:
-    """True if (mode, target, net arch) can run on the fused kernel."""
-    if setup.mode not in _PALLAS_SPECS:
+    """True if (mode, target, net arch) can run on a fused kernel."""
+    if setup.mode not in _PALLAS_SPECS and setup.mode not in _PALLAS_UD_SPECS:
         return False
-    if setup.nn_arch != "geffner" and setup.mode != "MCD_ULA":
+    if setup.nn_arch != "geffner" and setup.mode not in _SN_FREE_MODES:
         return False
     return grad_t_for_target(target, _dim_pad(setup.dim)) is not None
 
@@ -59,7 +73,6 @@ def compute_elbos_fused(
     Same contract as bounds.compute_elbos (returns (neg_elbos, z)) but takes
     the Target (the kernel needs its transposed gradient) instead of ctx.
     """
-    spec = _PALLAS_SPECS[setup.mode]
     p = bounds.merged_params(params)
     dim = setup.dim
     dim_pad = _dim_pad(dim)
@@ -71,34 +84,67 @@ def compute_elbos_fused(
     betas = betas_from_grid(p["mgridref_y"], p["gridref_x"], p["target_x"])
     grad_t = grad_t_for_target(target, dim_pad)
 
-    use_sn = spec.fwd_sn or spec.bwd_sn
-    if use_sn:
-        sn_weights, sn_meta = pack_geffner_t(p["sn"], dim, dim_pad)
-    else:
-        sn_weights = sn_meta = None
-
     # Derive a 32-bit kernel seed from the JAX key.
     seed = jax.random.randint(evolve_key, (), 0, jnp.iinfo(jnp.int32).max)
 
-    z, w = evolve_overdamped_pallas(
-        z0,
-        w0,
-        betas,
-        p["eps"],
-        p["vd"]["mean"],
-        p["vd"]["logdiag"],
-        grad_t,
-        spec,
-        dim=dim,
-        nbridges=setup.nbridges,
-        sn_weights=sn_weights,
-        sn_meta=sn_meta,
-        eps_schedule=setup.eps_schedule,
-        grad_clipping=setup.grad_clipping,
-        seed=seed,
-        block=block,
-        noise=noise,
-        interpret=interpret,
-    )
+    if setup.mode in _PALLAS_SPECS:
+        spec = _PALLAS_SPECS[setup.mode]
+        use_sn = spec.fwd_sn or spec.bwd_sn
+        if use_sn:
+            sn_weights, sn_meta = pack_geffner_t(p["sn"], dim, dim_pad)
+        else:
+            sn_weights = sn_meta = None
+        z, w = evolve_overdamped_pallas(
+            z0,
+            w0,
+            betas,
+            p["eps"],
+            p["vd"]["mean"],
+            p["vd"]["logdiag"],
+            grad_t,
+            spec,
+            dim=dim,
+            nbridges=setup.nbridges,
+            sn_weights=sn_weights,
+            sn_meta=sn_meta,
+            eps_schedule=setup.eps_schedule,
+            grad_clipping=setup.grad_clipping,
+            seed=seed,
+            block=block,
+            noise=noise,
+            interpret=interpret,
+        )
+    else:
+        from cmcd_tpu.ops.pallas_underdamped import (
+            evolve_underdamped_pallas,
+            pack_geffner_ud_t,
+        )
+
+        spec, full_sn = _PALLAS_UD_SPECS[setup.mode]
+        use_sn = spec.fwd_sn or spec.bwd_sn != "none"
+        if use_sn:
+            sn_weights, sn_meta = pack_geffner_ud_t(p["sn"], dim, dim_pad, full_sn)
+        else:
+            sn_weights = sn_meta = None
+        z, w_delta = evolve_underdamped_pallas(
+            z0,
+            betas,
+            p["eps"],
+            p["gamma"],
+            p["eta"],
+            p["vd"]["mean"],
+            p["vd"]["logdiag"],
+            grad_t,
+            spec,
+            dim=dim,
+            nbridges=setup.nbridges,
+            sn_weights=sn_weights,
+            sn_meta=sn_meta,
+            seed=seed,
+            block=block,
+            noise=noise,
+            interpret=interpret,
+        )
+        w = w0 + w_delta
     w = w + target.log_prob(z)
     return -w, z
