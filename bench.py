@@ -163,6 +163,35 @@ def bench_reference_style(n, nbridges, iters):
     return time_steps(step, state, iters)
 
 
+def bench_fused_eval(n, nbridges, iters):
+    """Forward/eval throughput on the fused Pallas kernel."""
+    import cmcd_tpu
+    from cmcd_tpu import bounds
+    from cmcd_tpu.ops.fused import compute_elbos_fused
+    from cmcd_tpu.utils import const_hoisted_jit
+
+    target = cmcd_tpu.load_target("many_gmm")
+    setup = cmcd_tpu.CMCDSetup(
+        mode="MCD_CAIS_var_sn", dim=target.dim, nbridges=nbridges, emb_dim=48,
+        grad_clipping=True,
+    )
+    params, ctx = cmcd_tpu.initialize(
+        setup, target.log_prob, eps=0.65, init_sigma=15.0
+    )
+
+    def step(state):
+        params, key, acc = state
+        key, sk = jax.random.split(key)
+        ne, _ = compute_elbos_fused(params, sk, n, setup, target)
+        acc = acc + jnp.mean(ne)
+        key = jax.random.fold_in(key, (acc > 0).astype(jnp.int32))
+        return (params, key, acc)
+
+    state = (params, jax.random.PRNGKey(0), jnp.float32(0.0))
+    fn = const_hoisted_jit(step, state)
+    return time_steps(fn, state, iters)
+
+
 def main():
     n = int(os.environ.get("BENCH_N", 2000))
     nbridges = int(os.environ.get("BENCH_NBRIDGES", 256))
@@ -170,6 +199,10 @@ def main():
 
     t_native = bench_tpu_native(n, nbridges, iters)
     t_ref = bench_reference_style(n, nbridges, iters)
+    try:
+        t_eval = bench_fused_eval(n, nbridges, iters)
+    except Exception:
+        t_eval = None
 
     chain_steps = n * nbridges
     native_tput = chain_steps / t_native
@@ -186,6 +219,10 @@ def main():
                     "config": f"many_gmm MCD_CAIS_var_sn N={n} K={nbridges}",
                     "tpu_native_step_s": round(t_native, 4),
                     "reference_style_step_s": round(t_ref, 4),
+                    "fused_pallas_eval_s": round(t_eval, 4) if t_eval else None,
+                    "fused_eval_chain_steps_per_s": (
+                        round(chain_steps / t_eval, 1) if t_eval else None
+                    ),
                     "device": str(jax.devices()[0]),
                 },
             }

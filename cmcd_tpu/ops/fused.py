@@ -48,13 +48,63 @@ def _dim_pad(dim: int) -> int:
     return max(8, ((dim + 7) // 8) * 8)
 
 
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom below the 16 MB VMEM
+
+
+def _vmem_estimate(setup: bounds.CMCDSetup, target, block: int) -> int:
+    """Rough bytes the kernel must keep on-core: chain-state temporaries,
+    score-net weights, and the target-score constants."""
+    dim_pad = _dim_pad(setup.dim)
+    state = 8 * dim_pad * block * 4  # z/fk/bk/noise/... temporaries
+    sn_bytes = 0
+    if setup.mode not in _SN_FREE_MODES:
+        rho_dim = setup.dim if setup.mode in (
+            "MCD_U_a-lp-sn", "MCD_U_ea-lp-sn", "MCD_CAIS_UHA_sn"
+        ) else 0
+        in_dim = setup.dim + rho_dim + setup.emb_dim
+        # residual layers + head + selectors + embedding table
+        sn_bytes = 4 * (
+            setup.nlayers * in_dim * in_dim
+            + in_dim * dim_pad
+            + 2 * in_dim * dim_pad
+            + setup.emb_dim * setup.nbridges
+        )
+    grad_t = grad_t_for_target(target, dim_pad)
+    const_bytes = 0
+    if grad_t is not None:
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        ex = _jax.ShapeDtypeStruct((dim_pad, block), _jnp.float32)
+        const_bytes = sum(
+            int(c.size) * 4 for c in _jax.make_jaxpr(grad_t)(ex).consts
+        )
+    return state + sn_bytes + const_bytes
+
+
 def supports_fused(setup: bounds.CMCDSetup, target) -> bool:
     """True if (mode, target, net arch) can run on a fused kernel."""
     if setup.mode not in _PALLAS_SPECS and setup.mode not in _PALLAS_UD_SPECS:
         return False
     if setup.nn_arch != "geffner" and setup.mode not in _SN_FREE_MODES:
         return False
-    return grad_t_for_target(target, _dim_pad(setup.dim)) is not None
+    if grad_t_for_target(target, _dim_pad(setup.dim)) is None:
+        return False
+    # Everything (weights, target constants, state) must fit VMEM; large-dim
+    # score networks (e.g. LGCP's 1620-wide geffner layers) do not — those
+    # configs fall back to the XLA scan path.
+    return _vmem_estimate(setup, target, default_block(setup.dim)) < _VMEM_BUDGET
+
+
+def default_block(dim: int) -> int:
+    """Chain-block width by dimension: keep the (dim_pad, block) state and
+    its handful of step temporaries within a few MB of VMEM."""
+    dim_pad = _dim_pad(dim)
+    if dim_pad <= 64:
+        return 512
+    if dim_pad <= 256:
+        return 256
+    return 128
 
 
 def compute_elbos_fused(
@@ -64,7 +114,7 @@ def compute_elbos_fused(
     setup: bounds.CMCDSetup,
     target,
     *,
-    block: int = 512,
+    block: int | None = None,
     noise=None,
     interpret: bool = False,
 ):
@@ -76,6 +126,8 @@ def compute_elbos_fused(
     p = bounds.merged_params(params)
     dim = setup.dim
     dim_pad = _dim_pad(dim)
+    if block is None:
+        block = default_block(dim)
 
     z_key, evolve_key = jax.random.split(key)
     z0 = diag_gaussian_sample(z_key, p["vd"], n_chains)

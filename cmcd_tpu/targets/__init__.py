@@ -50,7 +50,7 @@ def load_target(name: str, config=None) -> Target:
 
         return make_lgcp(
             use_whitened=get("use_whitened", False),
-            file_path=get("file_path", None),
+            file_path=get("file_path", None) or None,  # "" -> bundled pines.csv
         )
     if "many_gmm" in name:
         from cmcd_tpu.targets.gmm import make_many_gmm

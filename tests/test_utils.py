@@ -62,3 +62,28 @@ def test_metric_logger_jsonl(tmp_path):
     lines = [json.loads(l) for l in open(path)]
     assert lines[0]["loss"] == 1.5 and lines[0]["step"] == 3
     assert lines[1]["loss"] == 0.5
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    import optax
+
+    from cmcd_tpu.utils.checkpoint import CheckpointManager
+
+    params = {"train": {"a": jnp.arange(3.0), "b": jnp.ones((2, 2))}}
+    opt_state = optax.adam(1e-3).init(params)
+    mngr = CheckpointManager(str(tmp_path / "ckpt"))
+    mngr.save(5, params, opt_state=opt_state, key=jax.random.PRNGKey(7))
+    assert mngr.latest_step() == 5
+    step, restored = mngr.restore(
+        template={"params": params, "opt_state": opt_state,
+                  "key": jax.random.PRNGKey(0)}
+    )
+    assert step == 5
+    onp.testing.assert_allclose(
+        onp.asarray(restored["params"]["train"]["a"]), onp.arange(3.0)
+    )
+    onp.testing.assert_array_equal(
+        onp.asarray(restored["key"]), onp.asarray(jax.random.PRNGKey(7))
+    )
+    mngr.close()
