@@ -39,7 +39,8 @@ from cmcd_tpu.ops.target_grads import grad_t_for_target
 from cmcd_tpu.schedules import betas_from_grid, eps_at_step
 
 
-def replay_neg_elbos(params, z_traj, z_final, ctx, setup: bounds.CMCDSetup):
+def replay_neg_elbos(params, z_traj, z_final, ctx, setup: bounds.CMCDSetup,
+                     gt_all=None):
     """Per-chain negative ELBOs from a FIXED trajectory, differentiable in
     params. z_traj: (K, N, dim) pre-step states; z_final: (N, dim).
 
@@ -60,9 +61,14 @@ def replay_neg_elbos(params, z_traj, z_final, ctx, setup: bounds.CMCDSetup):
     z_all = jax.lax.stop_gradient(z_all)
     betas = betas_from_grid(p["mgridref_y"], p["gridref_x"], p["target_x"])
 
-    # Target and vd scores at every trajectory point, one batched pass.
+    # Target and vd scores at every trajectory point. The target score has
+    # no parameter dependence, so the kernel-computed values (gt_all) can be
+    # reused verbatim; otherwise one batched autodiff pass.
     flat = z_all.reshape(-1, setup.dim)
-    gu = jax.grad(lambda zz: jnp.sum(ctx.target_log_prob(zz)))(flat)
+    if gt_all is not None:
+        gu = jax.lax.stop_gradient(gt_all).reshape(-1, setup.dim)
+    else:
+        gu = jax.grad(lambda zz: jnp.sum(ctx.target_log_prob(zz)))(flat)
     gq = diag_gaussian_grad_log_prob(p["vd"], flat)
     if clip_t is not None:
         gu = jnp.clip(gu, -clip_t, clip_t)
@@ -86,26 +92,15 @@ def replay_neg_elbos(params, z_traj, z_final, ctx, setup: bounds.CMCDSetup):
     fk_mean = z_all[:-1] + e * drift_lo
     bk_mean = z_all[1:] + e * drift_hi
     if spec.fwd_sn or spec.bwd_sn:
-        # All 2*K*N score-net applications as ONE stacked matmul chain (a
-        # vmap over steps would emit K tiny batched matmuls and be
-        # latency-bound; per-row embedding gathers backprop through a slow
-        # scatter — apply_blocks keeps the emb gradient a reduction).
-        apply_blocks = getattr(ctx.apply_sn, "apply_blocks", None)
-        if apply_blocks is not None:
-            both = apply_blocks(
-                p["sn"],
-                jnp.concatenate([z_all[:-1], z_all[1:]], axis=0),
-                jnp.concatenate([steps, steps + spec.bwd_sn_offset], axis=0),
-            )
-            sn_fwd = both[:nb]
-            sn_bwd = both[nb:]
-        else:
-            sn_fwd = jax.vmap(lambda zz, i: ctx.apply_sn(p["sn"], zz, i))(
-                z_all[:-1], steps
-            )
-            sn_bwd = jax.vmap(lambda zz, i: ctx.apply_sn(p["sn"], zz, i))(
-                z_all[1:], steps + spec.bwd_sn_offset
-            )
+        # vmap over steps lowers to XLA batched matmuls, which measured
+        # faster here than one giant stacked matmul (the stacked form's
+        # (2KN, in) activations dominate HBM traffic in the backward).
+        sn_fwd = jax.vmap(lambda zz, i: ctx.apply_sn(p["sn"], zz, i))(
+            z_all[:-1], steps
+        )
+        sn_bwd = jax.vmap(lambda zz, i: ctx.apply_sn(p["sn"], zz, i))(
+            z_all[1:], steps + spec.bwd_sn_offset
+        )
         if spec.fwd_sn:
             fk_mean = fk_mean - e * sn_fwd
         if spec.bwd_sn:
@@ -135,7 +130,7 @@ def replay_neg_elbos(params, z_traj, z_final, ctx, setup: bounds.CMCDSetup):
 
 
 def var_bound_fused(params, key, n_chains: int, ctx, setup: bounds.CMCDSetup,
-                    target, *, block: int = 512, noise=None, interpret: bool = False):
+                    target, *, block: int = 256, noise=None, interpret: bool = False):
     """Drop-in var_bound with the Pallas forward + trajectory-replay grad.
 
     Same contract as bounds.var_bound (loss, (neg_elbos, z)) plus the target
@@ -160,7 +155,7 @@ def var_bound_fused(params, key, n_chains: int, ctx, setup: bounds.CMCDSetup,
     sn_weights, sn_meta = pack_geffner_t(p_stop["sn"], dim, dim_pad)
     seed = jax.random.randint(evolve_key, (), 0, jnp.iinfo(jnp.int32).max)
 
-    z_final, _, z_traj = evolve_overdamped_pallas(
+    z_final, _, z_traj, gt_all = evolve_overdamped_pallas(
         z0,
         jnp.zeros(n_chains),
         betas,
@@ -179,9 +174,10 @@ def var_bound_fused(params, key, n_chains: int, ctx, setup: bounds.CMCDSetup,
         block=block,
         noise=noise,
         return_trajectory=True,
+        return_drifts=True,
         interpret=interpret,
     )
 
-    neg_elbos = replay_neg_elbos(params, z_traj, z_final, ctx, setup)
+    neg_elbos = replay_neg_elbos(params, z_traj, z_final, ctx, setup, gt_all=gt_all)
     loss = jnp.clip(jnp.var(neg_elbos, ddof=0), -1e7, 1e7)
     return loss, (neg_elbos, z_final)

@@ -115,6 +115,7 @@ def evolve_overdamped_pallas(
     block: int = 512,
     noise: Optional[jnp.ndarray] = None,
     return_trajectory: bool = False,
+    return_drifts: bool = False,
     interpret: bool = False,
 ):
     """Run nbridges overdamped steps fused on-core.
@@ -128,7 +129,10 @@ def evolve_overdamped_pallas(
     return_trajectory: additionally return the pre-step states
     z_traj (nbridges, N, dim) (z_traj[i] is the state BEFORE step i) — the
     residuals for the trajectory-replay VarGrad gradient (ops/fused.py).
-    Returns (z_final (N, dim), w (N,)[, z_traj]).
+    return_drifts: additionally return the raw target scores
+    gt_traj (nbridges + 1, N, dim) at [z_0..z_K] (computed in-kernel anyway;
+    saves the replay loss its most expensive recompute).
+    Returns (z_final (N, dim), w (N,)[, z_traj][, gt_traj]).
     """
     n, d = z0.shape
     assert d == dim
@@ -198,8 +202,8 @@ def evolve_overdamped_pallas(
         out = jnp.dot(head_w, h, preferred_element_type=jnp.float32) + head_b
         return out * factor
 
-    def grad_u_t(z, beta):
-        gt = grad_logp_t(z)
+    def grad_u_from(gt, z, beta):
+        """Annealed drift from a precomputed raw target score gt."""
         gq = -(z - mean_t) * inv_var_t
         if clip_t is not None:
             gt = jnp.clip(gt, -clip_t, clip_t)
@@ -216,16 +220,20 @@ def evolve_overdamped_pallas(
             return (1e-4 - eps0) / (nbridges - 1) * fi + eps0
         return eps0
 
-    def step_core(z, w, xi, i, beta, eps0, factor):
+    def step_core(z, gt, w, xi, i, beta, eps0, factor):
+        """One bridge step. gt is the raw target score at z, carried between
+        steps so the (dominant) target-score evaluation happens once per new
+        point instead of twice per step. Returns the score at z_new."""
         eps_i = eps_at(eps0, i)
         scale = jnp.sqrt(2.0 * eps_i)
 
-        fk_mean = z - eps_i * grad_u_t(z, beta)
+        fk_mean = z - eps_i * grad_u_from(gt, z, beta)
         if spec.fwd_sn:
             fk_mean = fk_mean - eps_i * sn_apply(z, i, factor)
         z_new = fk_mean + scale * xi
 
-        bk_mean = z_new - eps_i * grad_u_t(z_new, beta)
+        gt_new = grad_logp_t(z_new)
+        bk_mean = z_new - eps_i * grad_u_from(gt_new, z_new, beta)
         if spec.bwd_sn:
             bk_mean = bk_mean + eps_i * sn_apply(
                 z_new, i + spec.bwd_sn_offset, factor
@@ -236,10 +244,11 @@ def evolve_overdamped_pallas(
             jnp.sum(resid * resid * row_mask, axis=0, keepdims=True)
             - jnp.sum(xi * xi * row_mask, axis=0, keepdims=True)
         )
-        return z_new, w + delta
+        return z_new, gt_new, w + delta
 
     example = (
         jax.ShapeDtypeStruct((dim_pad, block), jnp.float32),  # z
+        jax.ShapeDtypeStruct((dim_pad, block), jnp.float32),  # gt
         jax.ShapeDtypeStruct((1, block), jnp.float32),        # w
         jax.ShapeDtypeStruct((dim_pad, block), jnp.float32),  # xi
         jax.ShapeDtypeStruct((), jnp.int32),                  # i
@@ -253,26 +262,35 @@ def evolve_overdamped_pallas(
     closed_jaxpr = jax.make_jaxpr(step_core)(*example)
     step_consts = closed_jaxpr.consts
 
-    def step_conv(z, w, xi, i, beta, eps0, factor, *consts):
+    def step_conv(z, gt, w, xi, i, beta, eps0, factor, *consts):
         out = jax.core.eval_jaxpr(
-            closed_jaxpr.jaxpr, consts, z, w, xi, i, beta, eps0, factor
+            closed_jaxpr.jaxpr, consts, z, gt, w, xi, i, beta, eps0, factor
         )
         return tuple(out)
 
+    # Initial target score gt(z_0): its own jaxpr so its constants are also
+    # explicit inputs (duplicates of the step consts are cheap and rare).
+    init_jaxpr = jax.make_jaxpr(lambda z: grad_logp_t(z))(example[0])
+    init_consts_raw = init_jaxpr.consts
+
     # 0-d consts can't be VMEM inputs; lift them to (1, 1).
-    const_shapes = []
-    const_inputs = []
-    for c in step_consts:
-        c = jnp.asarray(c, jnp.float32 if c.dtype == jnp.float64 else c.dtype)
-        if c.ndim == 0:
-            c = c.reshape(1, 1)
-            const_shapes.append(("scalar", c.shape))
-        elif c.ndim == 1:
-            c = c.reshape(1, -1)
-            const_shapes.append(("vec", c.shape))
-        else:
-            const_shapes.append(("arr", c.shape))
-        const_inputs.append(c)
+    def pack_consts(raw):
+        shapes, arrays = [], []
+        for c in raw:
+            c = jnp.asarray(c, jnp.float32 if c.dtype == jnp.float64 else c.dtype)
+            if c.ndim == 0:
+                c = c.reshape(1, 1)
+                shapes.append(("scalar", c.shape))
+            elif c.ndim == 1:
+                c = c.reshape(1, -1)
+                shapes.append(("vec", c.shape))
+            else:
+                shapes.append(("arr", c.shape))
+            arrays.append(c)
+        return shapes, arrays
+
+    const_shapes, const_inputs = pack_consts(step_consts)
+    init_const_shapes, init_const_inputs = pack_consts(init_consts_raw)
 
     def kernel(*refs):
         idx = 0
@@ -286,11 +304,16 @@ def evolve_overdamped_pallas(
             noise_ref = refs[idx]; idx += 1
         const_refs = refs[idx : idx + len(const_inputs)]
         idx += len(const_inputs)
+        init_const_refs = refs[idx : idx + len(init_const_inputs)]
+        idx += len(init_const_inputs)
         out_z_ref = refs[idx]; idx += 1
         out_w_ref = refs[idx]; idx += 1
         traj_ref = None
         if return_trajectory:
             traj_ref = refs[idx]; idx += 1
+        drift_ref = None
+        if return_drifts:
+            drift_ref = refs[idx]; idx += 1
 
         eps0 = scal_ref[0, 0]
         factor = scal_ref[0, 1]
@@ -299,29 +322,39 @@ def evolve_overdamped_pallas(
         if not inject_noise:
             pltpu.prng_seed(seed_ref[0, 0] + pid)
 
-        consts = []
-        for (kind, shape), ref in zip(const_shapes, const_refs):
-            v = ref[:]
-            if kind == "scalar":
-                v = v[0, 0]
-            elif kind == "vec":
-                v = v[0]
-            consts.append(v)
+        def unpack(shapes, refs_):
+            vals = []
+            for (kind, shape), ref in zip(shapes, refs_):
+                v = ref[:]
+                if kind == "scalar":
+                    v = v[0, 0]
+                elif kind == "vec":
+                    v = v[0]
+                vals.append(v)
+            return vals
+
+        consts = unpack(const_shapes, const_refs)
+        init_consts = unpack(init_const_shapes, init_const_refs)
 
         def body(i, carry):
-            z, w = carry
+            z, gt, w = carry
             if return_trajectory:
                 traj_ref[i] = z
+            if return_drifts:
+                drift_ref[i] = gt
             beta = betas_ref[0, i]
             if inject_noise:
                 xi = noise_ref[i]
             else:
                 xi = _box_muller((dim_pad, block))
-            return step_conv(z, w, xi, i, beta, eps0, factor, *consts)
+            return step_conv(z, gt, w, xi, i, beta, eps0, factor, *consts)
 
         z = z_ref[:]
         w = w_ref[0:1, :]
-        z, w = jax.lax.fori_loop(0, nbridges, body, (z, w))
+        gt0 = jax.core.eval_jaxpr(init_jaxpr.jaxpr, init_consts, z)[0]
+        z, gt, w = jax.lax.fori_loop(0, nbridges, body, (z, gt0, w))
+        if return_drifts:
+            drift_ref[nbridges] = gt
         out_z_ref[:] = z
         out_w_ref[:] = jnp.broadcast_to(w, (8, block))
 
@@ -342,7 +375,7 @@ def evolve_overdamped_pallas(
             )
         )
         inputs.append(noise_t)
-    for c in const_inputs:
+    for c in const_inputs + init_const_inputs:
         in_specs.append(
             pl.BlockSpec(
                 c.shape, lambda i, nd=c.ndim: (0,) * nd, memory_space=pltpu.VMEM
@@ -369,6 +402,17 @@ def evolve_overdamped_pallas(
         out_shape.append(
             jax.ShapeDtypeStruct((nbridges, dim_pad, n_pad), jnp.float32)
         )
+    if return_drifts:
+        out_specs.append(
+            pl.BlockSpec(
+                (nbridges + 1, dim_pad, block),
+                lambda i: (0, 0, i),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((nbridges + 1, dim_pad, n_pad), jnp.float32)
+        )
 
     outs = pl.pallas_call(
         kernel,
@@ -384,7 +428,11 @@ def evolve_overdamped_pallas(
     out_z_t, out_w = outs[0], outs[1]
     z_final = out_z_t[:dim, :n].T
     w = out_w[0, :n]
+    result = [z_final, w]
+    k = 2
     if return_trajectory:
-        traj = jnp.swapaxes(outs[2][:, :dim, :n], 1, 2)  # (K, N, dim)
-        return z_final, w, traj
-    return z_final, w
+        result.append(jnp.swapaxes(outs[k][:, :dim, :n], 1, 2))  # (K, N, dim)
+        k += 1
+    if return_drifts:
+        result.append(jnp.swapaxes(outs[k][:, :dim, :n], 1, 2))  # (K+1, N, dim)
+    return tuple(result)
