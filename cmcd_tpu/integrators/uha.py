@@ -18,10 +18,13 @@ from cmcd_tpu.distributions import momentum_log_prob
 from cmcd_tpu.integrators.base import IntegratorContext, make_grad_u, step_keys
 
 
-def evolve_uha(key, z, betas, params, ctx: IntegratorContext):
+def evolve_uha(key, z, betas, params, ctx: IntegratorContext, noise=None):
     """Run nbridges UHA bridges. z: (N, dim). Returns (z, w_delta, delta_H).
 
     delta_H: (nbridges, N) per-bridge energy errors (diagnostic only).
+    noise: optional (nbridges + 1, N, dim) normals — noise[0] the initial
+    momentum base draw, noise[1:] the per-bridge refresh draws (for
+    equivalence tests vs ops/pallas_uha.py).
     """
     n, dim = z.shape
     md = params["md"]  # momentum logscale, (dim,)
@@ -71,15 +74,22 @@ def evolve_uha(key, z, betas, params, ctx: IntegratorContext):
     def step(carry, i):
         z, rho_prev, w = carry
         beta = betas[i]
-        noise_key, _ = step_keys(key, i)
-        xi = jnp.exp(md) * jax.random.normal(noise_key, rho_prev.shape)
+        if noise is None:
+            noise_key, _ = step_keys(key, i)
+            base = jax.random.normal(noise_key, rho_prev.shape)
+        else:
+            base = noise[i + 1]
+        xi = jnp.exp(md) * base
         rho = params["eta"] * rho_prev + jnp.sqrt(1.0 - params["eta"] ** 2) * xi
         z_new, rho_new, delta_h = leapfrog(z, rho, beta)
         w = w + momentum_log_prob(rho_new, md) - momentum_log_prob(rho, md)
         return (z_new, rho_new, w), delta_h
 
-    rho_key = jax.random.fold_in(key, ctx.nbridges)
-    rho0 = jnp.exp(md) * jax.random.normal(rho_key, (n, dim))
+    if noise is None:
+        rho_key = jax.random.fold_in(key, ctx.nbridges)
+        rho0 = jnp.exp(md) * jax.random.normal(rho_key, (n, dim))
+    else:
+        rho0 = jnp.exp(md) * noise[0]
 
     # w0 derived from z so it inherits device-varying axes under shard_map.
     w0 = 0.0 * z[:, 0]

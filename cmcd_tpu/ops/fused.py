@@ -41,7 +41,7 @@ _PALLAS_UD_SPECS = {
     "MCD_CAIS_UHA_sn": (ud.CAIS_UHA, True),
 }
 
-_SN_FREE_MODES = ("MCD_ULA", "MCD_U_a-lp", "MCD_U_e-lp")
+_SN_FREE_MODES = ("MCD_ULA", "MCD_U_a-lp", "MCD_U_e-lp", "UHA")
 
 
 def _dim_pad(dim: int) -> int:
@@ -84,7 +84,11 @@ def _vmem_estimate(setup: bounds.CMCDSetup, target, block: int) -> int:
 
 def supports_fused(setup: bounds.CMCDSetup, target) -> bool:
     """True if (mode, target, net arch) can run on a fused kernel."""
-    if setup.mode not in _PALLAS_SPECS and setup.mode not in _PALLAS_UD_SPECS:
+    if (
+        setup.mode not in _PALLAS_SPECS
+        and setup.mode not in _PALLAS_UD_SPECS
+        and setup.mode != "UHA"
+    ):
         return False
     if setup.nn_arch != "geffner" and setup.mode not in _SN_FREE_MODES:
         return False
@@ -166,6 +170,27 @@ def compute_elbos_fused(
             noise=noise,
             interpret=interpret,
         )
+    elif setup.mode == "UHA":
+        from cmcd_tpu.ops.pallas_uha import evolve_uha_pallas
+
+        z, w_delta = evolve_uha_pallas(
+            z0,
+            betas,
+            p["eps"],
+            p["eta"],
+            p["md"],
+            p["vd"]["mean"],
+            p["vd"]["logdiag"],
+            grad_t,
+            dim=dim,
+            nbridges=setup.nbridges,
+            lfsteps=setup.lfsteps,
+            seed=seed,
+            block=block,
+            noise=noise,
+            interpret=interpret,
+        )
+        w = w0 + w_delta
     else:
         from cmcd_tpu.ops.pallas_underdamped import (
             evolve_underdamped_pallas,

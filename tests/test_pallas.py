@@ -139,8 +139,7 @@ def test_supports_fused_gating():
     assert supports_fused(
         bounds.CMCDSetup(mode="MCD_U_a-lp-sn", dim=10, nbridges=4), target
     )
-    # UHA has its own momentum distribution and is not kernelized yet.
-    assert not supports_fused(
+    assert supports_fused(
         bounds.CMCDSetup(mode="UHA", dim=10, nbridges=4), target
     )
     # PIS nets are not kernelized; sn-free modes don't care about the arch.
