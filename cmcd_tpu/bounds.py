@@ -49,6 +49,8 @@ class CMCDSetup:
     nlayers: int = 2
     nn_arch: str = "geffner"
     fully_connected_units: tuple = (64, 64)
+    # Per-step rematerialization for KL/BPTT training at large nbridges.
+    remat_steps: bool = False
 
     def context(self, target_log_prob: Callable, apply_sn=None, apply_sn2=None):
         return IntegratorContext(
@@ -60,6 +62,7 @@ class CMCDSetup:
             eps_schedule=self.eps_schedule,
             grad_clipping=self.grad_clipping,
             lfsteps=self.lfsteps,
+            remat_steps=self.remat_steps,
         )
 
 

@@ -113,6 +113,8 @@ def get_config() -> ml_collections.ConfigDict:
 
     config.eps_schedule = ""
     config.grad_clipping = False
+    # Per-step remat for KL/BPTT training at large nbridges (new capability).
+    config.remat_steps = False
 
     config.mfvi_iters = 150000
     config.mfvi_lr = 0.01

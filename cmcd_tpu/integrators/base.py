@@ -36,6 +36,11 @@ class IntegratorContext:
     eps_schedule: str = ""
     grad_clipping: bool = False
     lfsteps: int = 1
+    # Rematerialize each bridge step in the backward pass (jax.checkpoint).
+    # Required for KL-loss (BPTT) training at large nbridges — the KL
+    # gradient otherwise saves every step's activations (SURVEY.md §7 hard
+    # part 3). VarGrad doesn't need it (stop-gradient state).
+    remat_steps: bool = False
 
 
 def target_grad(ctx: IntegratorContext):

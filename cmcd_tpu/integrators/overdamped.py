@@ -124,5 +124,7 @@ def evolve_overdamped(
     # Derive w0 from z (not a fresh constant) so it inherits z's device-varying
     # axes under shard_map.
     w0 = 0.0 * z[:, 0]
+    if ctx.remat_steps:
+        step = jax.checkpoint(step)
     (z, w), _ = jax.lax.scan(step, (z, w0), jnp.arange(ctx.nbridges))
     return z, w, None

@@ -93,6 +93,8 @@ def evolve_uha(key, z, betas, params, ctx: IntegratorContext, noise=None):
 
     # w0 derived from z so it inherits device-varying axes under shard_map.
     w0 = 0.0 * z[:, 0]
+    if ctx.remat_steps:
+        step = jax.checkpoint(step)
     (z, _, w), delta_h = jax.lax.scan(
         step, (z, rho0, w0), jnp.arange(ctx.nbridges)
     )

@@ -149,6 +149,8 @@ def evolve_underdamped(
         rho = noise[0]
     w0 = -std_normal_log_prob(rho)
 
+    if ctx.remat_steps:
+        step = jax.checkpoint(step)
     (z, rho, w), _ = jax.lax.scan(step, (z, rho, w0), jnp.arange(ctx.nbridges))
     w = w + std_normal_log_prob(rho)
     return z, w, None

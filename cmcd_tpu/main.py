@@ -73,6 +73,7 @@ def run_experiment(config, logger: MetricLogger | None = None):
         eps_schedule=config.eps_schedule,
         grad_clipping=config.grad_clipping,
         lfsteps=config.lfsteps,
+        remat_steps=config.remat_steps,
         emb_dim=config.emb_dim,
         nlayers=config.nlayers,
         nn_arch=config.nn_arch,

@@ -228,3 +228,31 @@ def test_uha_lfsteps_and_delta_h():
     neg_elbos, z = bounds.compute_elbos(params, jax.random.PRNGKey(0), n, ctx, setup)
     assert bool(jnp.all(jnp.isfinite(neg_elbos)))
     assert z.shape == (n, dim)
+
+
+def test_remat_steps_gradients_match():
+    """jax.checkpoint over bridge steps must not change KL gradients —
+    only the backward-pass memory profile (SURVEY.md §7 hard part 3)."""
+    import jax.flatten_util
+
+    dim, n = 2, 32
+    target = std_normal_target(dim)
+    grads = {}
+    for remat in (False, True):
+        setup = bounds.CMCDSetup(
+            mode="MCD_CAIS_sn", dim=dim, nbridges=6, emb_dim=8, remat_steps=remat
+        )
+        params, ctx = bounds.initialize(
+            setup, target.log_prob, eps=0.05, trainable=("eps", "vd")
+        )
+
+        def loss(train):
+            return bounds.kl_bound(
+                {"train": train, "notrain": params["notrain"]},
+                jax.random.PRNGKey(3), n, ctx, setup,
+            )[0]
+
+        grads[remat] = jax.flatten_util.ravel_pytree(jax.grad(loss)(params["train"]))[0]
+    onp.testing.assert_allclose(
+        onp.asarray(grads[False]), onp.asarray(grads[True]), rtol=1e-5, atol=1e-6
+    )
