@@ -9,10 +9,15 @@ programs.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
-LOG_2PI = jnp.log(2.0 * jnp.pi)
+# Plain Python float: a module-scope jnp constant would initialize the JAX
+# backend at import time, which breaks entry points that need to select the
+# platform (CPU vs TPU) before first device use (e.g. dryrun_multichip).
+LOG_2PI = math.log(2.0 * math.pi)
 
 
 # ---------------------------------------------------------------------------

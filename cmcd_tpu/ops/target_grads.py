@@ -236,22 +236,56 @@ def make_lgcp_grad_t(dim_pad: int, use_whitened: bool = False):
     return grad_whitened if use_whitened else grad_unwhitened
 
 
+def _build_funnel(target, dim_pad):
+    return make_funnel_grad_t(target.dim, dim_pad, sig=target.params.get("sig", 3.0))
+
+
+def _build_many_gmm(target, dim_pad):
+    p = target.params
+    return make_many_gmm_grad_t(
+        dim_pad,
+        n_mixes=p.get("n_mixes", 40),
+        loc_scaling=p.get("loc_scaling", 40.0),
+        log_var_scaling=p.get("log_var_scaling", 0.1),
+        seed=p.get("seed", 0),
+    )
+
+
+def _build_lgcp(target, dim_pad):
+    p = target.params
+    # The hand-derived gradient bakes in the 40x40 pines grid; a custom CSV
+    # or grid size must fall back to the XLA scan path.
+    if p.get("num_dim", 1600) != 1600 or not p.get("default_data", True):
+        return None
+    return make_lgcp_grad_t(dim_pad, use_whitened=p.get("use_whitened", False))
+
+
+def _build_logreg(target, dim_pad):
+    return make_logreg_grad_t(target.params.get("dset"), target.dim, dim_pad)
+
+
+# Every builder consumes the Target's recorded construction params so the
+# kernel integrates exactly the density the batched log_prob defines; a
+# builder returns None (-> scan fallback) for combinations it cannot honor.
 TARGET_GRAD_T_BUILDERS = {
-    "funnel": lambda target, dim_pad: make_funnel_grad_t(target.dim, dim_pad),
+    "funnel": _build_funnel,
     "gmm": lambda target, dim_pad: make_gmm_grad_t(dim_pad),
-    "many_gmm": lambda target, dim_pad: make_many_gmm_grad_t(dim_pad),
-    "log_sonar": lambda target, dim_pad: make_logreg_grad_t("sonar", target.dim, dim_pad),
-    "log_ionosphere": lambda target, dim_pad: make_logreg_grad_t(
-        "ionosphere", target.dim, dim_pad
-    ),
-    # NOTE: loaded LGCP targets default to unwhitened (reference paper runs,
-    # src/model_handler.py README); whitened callers should build
-    # make_lgcp_grad_t(dim_pad, use_whitened=True) directly.
-    "lgcp": lambda target, dim_pad: make_lgcp_grad_t(dim_pad),
+    "many_gmm": _build_many_gmm,
+    "log_sonar": _build_logreg,
+    "log_ionosphere": _build_logreg,
+    "log_australian": _build_logreg,
+    "log_a1a": _build_logreg,
+    "log_madelon": _build_logreg,
+    "lgcp": _build_lgcp,
 }
 
 
 def grad_t_for_target(target, dim_pad: int):
-    """Transposed-layout gradient for a known target, or None."""
+    """Transposed-layout gradient matching the target's construction params,
+    or None (caller must fall back to the XLA scan path)."""
     builder = TARGET_GRAD_T_BUILDERS.get(target.name)
-    return builder(target, dim_pad) if builder else None
+    if builder is None:
+        return None
+    if target.name.startswith("log_") and not target.params.get("dset"):
+        return None  # logreg target built outside make_logreg; unknown data
+    return builder(target, dim_pad)

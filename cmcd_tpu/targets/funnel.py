@@ -38,4 +38,10 @@ def make_funnel(d: int = 10, sig: float = 3.0, clip_y: float = 11.0) -> Target:
         x = jax.random.normal(x_key, (n, d - 1)) * jnp.exp(y / 2.0)
         return jnp.concatenate([y, x], axis=1)
 
-    return Target(name="funnel", dim=d, log_prob=log_prob, sample=sample)
+    return Target(
+        name="funnel",
+        dim=d,
+        log_prob=log_prob,
+        sample=sample,
+        params={"sig": sig, "clip_y": clip_y},
+    )

@@ -17,13 +17,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as onp
 from jax.scipy.special import logsumexp
 
 from cmcd_tpu.distributions import LOG_2PI
 from cmcd_tpu.targets.base import Target
 
-_MEANS = jnp.array([[3.0, 0.0], [-2.5, 0.0], [2.0, 3.0]])
-_COVS = jnp.array(
+# numpy (not jnp) so importing this module never initializes the backend.
+_MEANS = onp.array([[3.0, 0.0], [-2.5, 0.0], [2.0, 3.0]])
+_COVS = onp.array(
     [
         [[0.7, 0.0], [0.0, 0.05]],
         [[0.7, 0.0], [0.0, 0.05]],
@@ -33,7 +35,8 @@ _COVS = jnp.array(
 
 
 def make_gmm(config=None) -> Target:
-    chols = jnp.linalg.cholesky(_COVS)  # (3, 2, 2)
+    means = jnp.asarray(_MEANS)  # (3, 2)
+    chols = jnp.linalg.cholesky(jnp.asarray(_COVS))  # (3, 2, 2)
     log_weights = jnp.log(jnp.ones(3) / 3.0)
     # log-normalizer per component: -log(2pi) - sum log diag(L)
     log_norm = -LOG_2PI - jnp.sum(
@@ -46,7 +49,7 @@ def make_gmm(config=None) -> Target:
 
     def raw_log_density(x):
         """x: (N, 2) -> (N,)."""
-        diff = x[:, None, :] - _MEANS[None, :, :]  # (N, 3, 2)
+        diff = x[:, None, :] - means[None, :, :]  # (N, 3, 2)
         y = jnp.einsum("kij,nkj->nki", inv_chols, diff)
         maha = -0.5 * jnp.sum(y * y, axis=-1)  # (N, 3)
         return logsumexp(maha + log_norm + log_weights, axis=-1)
@@ -61,7 +64,7 @@ def make_gmm(config=None) -> Target:
         # Symmetrized density == mixture over {component} x {flip}.
         comp = jax.random.categorical(key=k1, logits=jnp.zeros(3), shape=(n,))
         eps = jax.random.normal(k2, (n, 2))
-        x = _MEANS[comp] + jnp.einsum("nij,nj->ni", chols[comp], eps)
+        x = means[comp] + jnp.einsum("nij,nj->ni", chols[comp], eps)
         k3, _ = jax.random.split(k2)
         flip = jax.random.bernoulli(k3, 0.5, (n,))
         return jnp.where(flip[:, None], jnp.flip(x, axis=-1), x)
@@ -98,4 +101,15 @@ def make_many_gmm(
         eps = jax.random.normal(k2, (n, dim))
         return means[comp] + scale[comp] * eps
 
-    return Target(name="many_gmm", dim=2, log_prob=log_prob, sample=sample)
+    return Target(
+        name="many_gmm",
+        dim=2,
+        log_prob=log_prob,
+        sample=sample,
+        params={
+            "n_mixes": n_mixes,
+            "loc_scaling": loc_scaling,
+            "log_var_scaling": log_var_scaling,
+            "seed": seed,
+        },
+    )

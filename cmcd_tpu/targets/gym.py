@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as onp
 
 from cmcd_tpu.distributions import LOG_2PI
 from cmcd_tpu.targets.base import Target
@@ -59,7 +60,7 @@ def make_banana(curvature: float = 0.03) -> Target:
 # ---------------------------------------------------------------------------
 
 # Observed locations from inference_gym (timesteps 0-9 and 20-29).
-_BROWNIAN_OBS_FIRST = jnp.array(
+_BROWNIAN_OBS_FIRST = onp.array(
     [
         0.21592641,
         0.118771404,
@@ -73,7 +74,7 @@ _BROWNIAN_OBS_FIRST = jnp.array(
         -0.09830782,
     ]
 )
-_BROWNIAN_OBS_LAST = jnp.array(
+_BROWNIAN_OBS_LAST = onp.array(
     [
         -0.8786016,
         -0.83736074,

@@ -108,4 +108,14 @@ def make_lgcp(use_whitened: bool = False, file_path: str | None = None, num_dim:
         )
 
     log_prob = whitened_log_prob if use_whitened else unwhitened_log_prob
-    return Target(name="lgcp", dim=num_dim, log_prob=log_prob)
+    default_path = os.path.join(_DATA_DIR, "pines.csv")
+    return Target(
+        name="lgcp",
+        dim=num_dim,
+        log_prob=log_prob,
+        params={
+            "use_whitened": use_whitened,
+            "num_dim": num_dim,
+            "default_data": os.path.abspath(file_path) == os.path.abspath(default_path),
+        },
+    )

@@ -52,4 +52,4 @@ def make_logreg(dset: str = "sonar") -> Target:
         log_lik = jnp.sum(y * logits - jnp.logaddexp(0.0, logits), axis=-1)
         return log_prior + log_lik
 
-    return Target(name=f"log_{dset}", dim=dim, log_prob=log_prob)
+    return Target(name=f"log_{dset}", dim=dim, log_prob=log_prob, params={"dset": dset})

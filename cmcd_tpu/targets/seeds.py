@@ -23,23 +23,23 @@ from scipy.special import gammaln
 from cmcd_tpu.distributions import LOG_2PI
 from cmcd_tpu.targets.base import Target
 
-_R = jnp.array(
+# numpy (not jnp) constants so importing this module never initializes the
+# JAX backend (platform selection must stay possible after import).
+_R = onp.array(
     [10, 23, 23, 26, 17, 5, 53, 55, 32, 46, 10, 8, 10, 8, 23, 0, 3, 22, 15, 32, 3],
-    jnp.float32,
+    onp.float32,
 )
-_N = jnp.array(
+_N = onp.array(
     [39, 62, 81, 51, 39, 6, 74, 72, 51, 79, 13, 16, 30, 28, 45, 4, 12, 41, 30, 51, 7],
-    jnp.float32,
+    onp.float32,
 )
-_X1 = jnp.array([0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1], jnp.float32)
-_X2 = jnp.array([0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1], jnp.float32)
+_X1 = onp.array([0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1], onp.float32)
+_X2 = onp.array([0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1], onp.float32)
 
 # Binomial coefficient constants (included by numpyro's BinomialLogits).
-_LOG_BINOM = jnp.asarray(
-    gammaln(onp.asarray(_N) + 1)
-    - gammaln(onp.asarray(_R) + 1)
-    - gammaln(onp.asarray(_N) - onp.asarray(_R) + 1),
-    jnp.float32,
+_LOG_BINOM = onp.asarray(
+    gammaln(_N + 1) - gammaln(_R + 1) - gammaln(_N - _R + 1),
+    onp.float32,
 )
 
 _GAMMA_ALPHA = 0.01

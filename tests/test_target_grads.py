@@ -74,6 +74,41 @@ def test_registry():
     assert tg.grad_t_for_target(t2, 32) is None
 
 
+def test_registry_honors_construction_params():
+    """Non-default targets must get the matching gradient, not the default's
+    (VERDICT round 1: silent-wrongness hazard in the fused path)."""
+    from cmcd_tpu.targets.funnel import make_funnel
+    from cmcd_tpu.targets.gmm import make_many_gmm
+
+    # funnel with sig != 3 — registry gradient must match autodiff.
+    t = make_funnel(d=10, sig=1.5)
+    check(t, tg.grad_t_for_target(t, 16), 16, scale=1.0)
+
+    # gmm_easy_mode-style many_gmm (config.py:153-156): n_mixes=4, loc=10.
+    t = make_many_gmm(n_mixes=4, loc_scaling=10.0)
+    key = jax.random.PRNGKey(3)
+    z = jax.random.normal(key, (128, 2)) * 6.0
+    z = z[jnp.isfinite(t.log_prob(z))]
+    want = onp.asarray(autodiff_grad(t, z))
+    grad_t = tg.grad_t_for_target(t, 8)
+    z_t = jnp.zeros((8, z.shape[0])).at[:2, :].set(z.T)
+    got = onp.asarray(grad_t(z_t))
+    onp.testing.assert_allclose(got[:2].T, want, atol=2e-4, rtol=1e-3)
+
+
+def test_registry_refuses_unknown_combinations():
+    from cmcd_tpu.targets.base import Target
+    from cmcd_tpu.targets.lgcp import make_lgcp
+
+    # LGCP on a non-default grid: the baked-in pines gradient is wrong -> None.
+    t = make_lgcp(num_dim=400)
+    assert tg.grad_t_for_target(t, 400) is None
+
+    # A hand-built log_* target with no recorded dataset -> None.
+    t2 = Target(name="log_sonar", dim=61, log_prob=lambda z: jnp.zeros(z.shape[0]))
+    assert tg.grad_t_for_target(t2, 64) is None
+
+
 def test_lgcp_grad_t():
     t = load_target("lgcp")
     grad_t = tg.make_lgcp_grad_t(1600)
