@@ -35,6 +35,15 @@ from cmcd_tpu.networks import build_score_network
 from cmcd_tpu.schedules import betas_from_grid, make_beta_grid_params
 
 
+# Modes whose reference implementation threads the eps schedule through
+# (src/mcd_cais.py:34-44, src/mcd_cais_var.py); MCD_CAIS_UHA_sn hardcodes a
+# cosine schedule in its spec instead (src/mcd_under_lp_a_cais.py:48). All
+# other modes ignore --config.eps_schedule, exactly as the reference
+# dispatcher does (src/mcd_utils.py passes no schedule to
+# evolve_overdamped_orig / the underdamped lp evolvers).
+_EPS_SCHEDULE_MODES = ("MCD_CAIS_sn", "MCD_CAIS_var_sn")
+
+
 @dataclasses.dataclass(frozen=True)
 class CMCDSetup:
     """Static (hashable) configuration of a bound. Safe as a jit static arg."""
@@ -51,6 +60,10 @@ class CMCDSetup:
     fully_connected_units: tuple = (64, 64)
     # Per-step rematerialization for KL/BPTT training at large nbridges.
     remat_steps: bool = False
+
+    def __post_init__(self):
+        if self.eps_schedule and self.mode not in _EPS_SCHEDULE_MODES:
+            object.__setattr__(self, "eps_schedule", "")
 
     def context(self, target_log_prob: Callable, apply_sn=None, apply_sn2=None):
         return IntegratorContext(

@@ -132,6 +132,11 @@ def get_config() -> ml_collections.ConfigDict:
     config.checkpoint_dir = ""
     config.checkpoint_every = 0  # 0 = disabled
     config.resume = False
+    # Training-time sample plots + W2 (reference plots every 1% of iters,
+    # src/opt.py:109-120); "" disables. Plots land as plot_dir/samples_N.png.
+    config.plot_dir = ""
+    # jax.profiler trace of a few training steps; "" disables.
+    config.profile_dir = ""
 
     # NICE config
     config.im_size = 14

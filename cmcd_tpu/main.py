@@ -93,6 +93,26 @@ def run_experiment(config, logger: MetricLogger | None = None):
         seed=config.seed,
     )
 
+    # ---- Multi-device: shard the chain axis over all devices -------------
+    # (new capability vs the single-device reference, SURVEY.md §2c). Chains
+    # are iid, so this is pure data parallelism over a 1-D mesh; losses and
+    # ln Z reduce via XLA collectives over ICI.
+    train_loss_fn = None
+    mesh = None
+    if jax.device_count() > 1:
+        from cmcd_tpu import parallel
+
+        ndev = jax.device_count()
+        if config.N % ndev != 0:
+            raise ValueError(
+                f"--config.N={config.N} must be divisible by the "
+                f"{ndev} available devices for chain sharding; pick e.g. "
+                f"N={config.N - config.N % ndev}"
+            )
+        mesh = parallel.make_chain_mesh()
+        train_loss_fn = parallel.sharded_loss_for_mode(mode, mesh)
+        print(f"Sharding {config.N} chains over {ndev} devices.")
+
     # Fused Pallas paths where supported (overdamped modes on targets with a
     # registered transposed score; ops/fused.py).
     eval_elbo_fn = None
@@ -106,11 +126,37 @@ def run_experiment(config, logger: MetricLogger | None = None):
             # on par with the trajectory-replay gradient at flagship scale
             # and compiles much faster. ops.fused_vargrad.var_bound_fused is
             # the verified-exact alternative (pass via train(loss_fn=...)).
+    if eval_elbo_fn is None and mesh is not None:
+        from cmcd_tpu import parallel
+
+        eval_elbo_fn = lambda p, k, n: parallel.sharded_compute_elbos(
+            p, k, n, ctx, setup, mesh
+        )
 
     meter = ThroughputMeter(config.N, config.nbridges)
 
+    # Training-time visualization + W2 (reference plots samples and W2 every
+    # 1% of iters, src/opt.py:109-120, src/utils.py:136-178).
+    plot_w2_ref = None
+    if config.plot_dir and target.sample is not None:
+        n_w2 = min(config.n_sinkhorn, config.N)
+        plot_w2_ref = target.sample(jax.random.PRNGKey(3), n_w2)
+
     def callback(step, info, z):
         info["chain_steps_per_sec"] = meter.rate(step)
+        if config.plot_dir:
+            from cmcd_tpu.utils import plotting
+
+            plotting.plot_samples(
+                config.model, target.log_prob, jax.device_get(z), config,
+                config.plot_dir, step=step,
+            )
+            if plot_w2_ref is not None:
+                from cmcd_tpu.utils.sinkhorn import sinkhorn_w2
+
+                info["train_w2"] = float(
+                    sinkhorn_w2(z[: plot_w2_ref.shape[0]], plot_w2_ref)
+                )
         logger.log(info, step=step)
 
     # ---- Checkpointing (new capability) ----------------------------------
@@ -119,11 +165,6 @@ def run_experiment(config, logger: MetricLogger | None = None):
         from cmcd_tpu.utils.checkpoint import CheckpointManager
 
         ckpt = CheckpointManager(config.checkpoint_dir)
-        if config.resume:
-            _, restored = ckpt.restore(template={"params": params})
-            if restored is not None:
-                params = restored["params"]
-                print("Resumed from checkpoint.")
 
     # ---- Train ------------------------------------------------------------
     result = train(
@@ -135,15 +176,19 @@ def run_experiment(config, logger: MetricLogger | None = None):
         batch_size=config.N,
         key=train_key,
         trainable=trainable,
+        loss_fn=train_loss_fn,
         use_ema=config.use_ema,
         callback=callback,
+        checkpoint=ckpt,
+        checkpoint_every=config.checkpoint_every,
+        resume=config.resume,
+        profile_dir=config.profile_dir,
     )
     if result.diverged:
         print("Diverged at step %d; evaluating last finite params." % result.steps_done)
     params = result.params
 
-    if ckpt is not None:
-        ckpt.save(result.steps_done, params)
+    # (train() saved the final full-state checkpoint itself when ckpt is set.)
 
     # ---- Eval (reference main.py:209-246) --------------------------------
     out = evaluate(
@@ -196,6 +241,18 @@ def run_experiment(config, logger: MetricLogger | None = None):
         )
         logger.log(w2)
         results.update(w2)
+
+    # ---- Final NICE image grid (reference main.py:274-282) ----------------
+    if config.model == "nice" and config.plot_dir:
+        from cmcd_tpu.utils import plotting
+
+        os.makedirs(config.plot_dir, exist_ok=True)
+        plotting.make_grid(
+            jax.device_get(out["samples"]),
+            config.im_size,
+            n=64,
+            path=os.path.join(config.plot_dir, "nice_final_grid.png"),
+        )
 
     # ---- Artifact dump (reference main.py:286-301) ------------------------
     if config.checkpoint_dir:

@@ -52,11 +52,14 @@ def evaluate(
 
     elbos = -jnp.mean(neg_elbos, axis=1)
     ln_zs = logsumexp(-neg_elbos, axis=1) - jnp.log(n_samples)
+    # Host copies: the matrix/samples feed host-side reporting (W2, plots),
+    # and a sharded zs (multi-device elbo_fn) cannot be reshaped on device.
+    zs = jax.device_get(zs)
     return {
         "final_elbo": float(jnp.mean(elbos)),
         "final_elbo_std": float(jnp.std(elbos)),
         "final_ln_Z": float(jnp.mean(ln_zs)),
         "final_ln_Z_std": float(jnp.std(ln_zs)),
-        "neg_elbos": neg_elbos,
+        "neg_elbos": jax.device_get(neg_elbos),
         "samples": zs.reshape(-1, zs.shape[-1]),
     }
