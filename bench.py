@@ -6,6 +6,10 @@ BASELINE.json). One "chain-step" = one SDE bridge step of one chain, so a
 training step performs N * nbridges chain-steps (forward; the backward pass
 is part of the measured step, as in the 5x wall-clock target).
 
+The tpu-native number is the step main.py actually runs on TPU: the
+fully-fused Pallas training loss (forward + backward kernels,
+ops/fused_train.py). The XLA-scan step is reported alongside for reference.
+
 Prints ONE JSON line:
   {"metric": "chain_steps_per_sec_per_chip", "value": ..., "unit": "steps/s",
    "vs_baseline": ...}
@@ -15,14 +19,18 @@ structure run on the SAME chip (bench_reference_style.py). The reference
 repo itself cannot run here (numpyro/distrax/wandb absent), so this is the
 honest like-for-like baseline.
 
-Env knobs: BENCH_N, BENCH_NBRIDGES, BENCH_ITERS for quick local runs.
+Self-describing timing: every measurement runs `repeats` chained groups of
+`iters` steps; the detail block reports each group's mean so run-to-run
+variance is visible in the driver log (round-1 driver/local runs disagreed
+2.8x on the reference-style step with a single group).
+
+Env knobs: BENCH_N, BENCH_NBRIDGES, BENCH_ITERS, BENCH_REPEATS.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import sys
 import time
 
 import jax
@@ -30,14 +38,16 @@ import jax.numpy as jnp
 import optax
 
 
-def time_steps(step_fn, init_state, iters: int):
-    """Median wall-clock of step_fn over `iters` timed calls.
+def time_steps(step_fn, init_state, iters: int, repeats: int = 3):
+    """Per-step wall-clock: `repeats` groups of `iters` chained calls.
 
     step_fn must already be compiled via cmcd_tpu.utils.const_hoisted_jit:
     on this TPU stack, embedded HLO array constants cost a fixed ~30 ms per
     execution (and explode compile times); hoisting them to runtime args is
     required for honest measurements. Both sides of the A/B get the same
     treatment.
+
+    Returns (median_of_group_means, group_means list).
     """
     def materialize(state):
         # On this stack block_until_ready returns before the remote
@@ -46,19 +56,25 @@ def time_steps(step_fn, init_state, iters: int):
         return float(jax.tree_util.tree_leaves(state)[0].ravel()[0])
 
     state = init_state
-    # Warmup / compile.
+    # Warmup / compile (two calls: the first compiles, the second pre-warms
+    # dispatch caches).
     state = step_fn(state)
     materialize(state)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state = step_fn(state)
-    materialize(state)  # chained data dependency forces all iters
-    return (time.perf_counter() - t0) / iters
+    state = step_fn(state)
+    materialize(state)
+
+    means = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state = step_fn(state)
+        materialize(state)  # chained data dependency forces all iters
+        means.append((time.perf_counter() - t0) / iters)
+    return sorted(means)[len(means) // 2], means
 
 
-def bench_tpu_native(n, nbridges, iters):
+def _flagship_problem(n, nbridges):
     import cmcd_tpu
-    from cmcd_tpu.train import project
 
     target = cmcd_tpu.load_target("many_gmm")
     setup = cmcd_tpu.CMCDSetup(
@@ -72,18 +88,20 @@ def bench_tpu_native(n, nbridges, iters):
     params, ctx = cmcd_tpu.initialize(
         setup, target.log_prob, eps=0.65, init_sigma=15.0, trainable=trainable
     )
+    return target, setup, trainable, params, ctx
+
+
+def _train_step_factory(loss_builder, trainable):
+    from cmcd_tpu.train import project
+
     opt = optax.chain(optax.clip(5.0), optax.adam(1e-3))
-    opt_state = opt.init(params["train"])
-    notrain = params["notrain"]
 
     def train_step(state):
         train_p, notrain, opt_state, key = state
         key, step_key = jax.random.split(key)
 
         def loss(tr):
-            return cmcd_tpu.var_bound(
-                {"train": tr, "notrain": notrain}, step_key, n, ctx, setup
-            )
+            return loss_builder({"train": tr, "notrain": notrain}, step_key)
 
         (l, _), grads = jax.value_and_grad(loss, has_aux=True)(train_p)
         updates, opt_state = opt.update(grads, opt_state, train_p)
@@ -91,14 +109,46 @@ def bench_tpu_native(n, nbridges, iters):
         train_p = project(train_p, trainable)
         return (train_p, notrain, opt_state, key)
 
+    return train_step, opt
+
+
+def bench_train(n, nbridges, iters, repeats, use_pallas, steps_per_call=1):
+    """Per-step time of the training loop main.py runs: optionally with the
+    trainer's step-chunking (steps_per_call updates per jitted dispatch,
+    train/trainer.py) which amortizes this relay's ~1.5 ms host dispatch."""
+    import cmcd_tpu
     from cmcd_tpu.utils import const_hoisted_jit
 
-    state = (params["train"], notrain, opt_state, jax.random.PRNGKey(0))
+    target, setup, trainable, params, ctx = _flagship_problem(n, nbridges)
+
+    if use_pallas:
+        from cmcd_tpu.ops.fused_train import var_bound_pallas
+
+        loss_builder = lambda p, k: var_bound_pallas(p, k, n, ctx, setup, target)
+    else:
+        loss_builder = lambda p, k: cmcd_tpu.var_bound(p, k, n, ctx, setup)
+
+    train_step, opt = _train_step_factory(loss_builder, trainable)
+    if steps_per_call > 1:
+        inner = train_step
+
+        def train_step(state):
+            return jax.lax.scan(
+                lambda s, _: (inner(s), None), state, None, length=steps_per_call
+            )[0]
+
+    state = (
+        params["train"],
+        params["notrain"],
+        opt.init(params["train"]),
+        jax.random.PRNGKey(0),
+    )
     step = const_hoisted_jit(train_step, state)
-    return time_steps(step, state, iters)
+    t, groups = time_steps(step, state, iters, repeats)
+    return t / steps_per_call, [g / steps_per_call for g in groups]
 
 
-def bench_reference_style(n, nbridges, iters):
+def bench_reference_style(n, nbridges, iters, repeats):
     import cmcd_tpu
     from cmcd_tpu.networks.geffner import build_geffner_network
     from cmcd_tpu.schedules import betas_from_grid, make_beta_grid_params
@@ -118,7 +168,6 @@ def bench_reference_style(n, nbridges, iters):
 
     loss_fn = make_reference_style_vargrad(target_single, dim, nbridges, apply_sn_single)
     mg, gx, tx = make_beta_grid_params(nbridges)
-    betas = betas_from_grid(mg, gx, tx)
     params = {
         "vd": {
             "mean": jnp.zeros(dim),
@@ -160,24 +209,16 @@ def bench_reference_style(n, nbridges, iters):
 
     state = (params, opt_state, jax.random.PRNGKey(0))
     step = const_hoisted_jit(train_step, state)
-    return time_steps(step, state, iters)
+    return time_steps(step, state, iters, repeats)
 
 
-def bench_fused_eval(n, nbridges, iters):
+def bench_fused_eval(n, nbridges, iters, repeats):
     """Forward/eval throughput on the fused Pallas kernel."""
     import cmcd_tpu
-    from cmcd_tpu import bounds
     from cmcd_tpu.ops.fused import compute_elbos_fused
     from cmcd_tpu.utils import const_hoisted_jit
 
-    target = cmcd_tpu.load_target("many_gmm")
-    setup = cmcd_tpu.CMCDSetup(
-        mode="MCD_CAIS_var_sn", dim=target.dim, nbridges=nbridges, emb_dim=48,
-        grad_clipping=True,
-    )
-    params, ctx = cmcd_tpu.initialize(
-        setup, target.log_prob, eps=0.65, init_sigma=15.0
-    )
+    target, setup, trainable, params, ctx = _flagship_problem(n, nbridges)
 
     def step(state):
         params, key, acc = state
@@ -189,20 +230,42 @@ def bench_fused_eval(n, nbridges, iters):
 
     state = (params, jax.random.PRNGKey(0), jnp.float32(0.0))
     fn = const_hoisted_jit(step, state)
-    return time_steps(fn, state, iters)
+    return time_steps(fn, state, iters, repeats)
 
 
 def main():
     n = int(os.environ.get("BENCH_N", 2000))
     nbridges = int(os.environ.get("BENCH_NBRIDGES", 256))
-    iters = int(os.environ.get("BENCH_ITERS", 10))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+    repeats = int(os.environ.get("BENCH_REPEATS", 3))
+    # 20 matches the trainer's automatic steps_per_call on the flagship
+    # recipe (gcd of log/callback/NaN cadences at iters=40000, capped 25).
+    chunk = int(os.environ.get("BENCH_STEPS_PER_CALL", 20))
 
-    t_native = bench_tpu_native(n, nbridges, iters)
-    t_ref = bench_reference_style(n, nbridges, iters)
+    def r(ms_list):
+        return [round(t * 1e3, 3) for t in ms_list]
+
     try:
-        t_eval = bench_fused_eval(n, nbridges, iters)
+        t_native, native_groups = bench_train(
+            n, nbridges, max(iters // chunk, 3), repeats, True,
+            steps_per_call=chunk,
+        )
+        native_path = f"pallas_fused_train[steps_per_call={chunk}]"
+        t_unchunked, _ = bench_train(n, nbridges, iters, repeats, True)
     except Exception:
-        t_eval = None
+        t_native, native_groups = bench_train(n, nbridges, iters, repeats, False)
+        native_path = "xla_scan_train"
+        t_unchunked = t_native
+    t_scan, scan_groups = (
+        bench_train(n, nbridges, iters, repeats, False)
+        if "pallas" in native_path
+        else (t_native, native_groups)
+    )
+    t_ref, ref_groups = bench_reference_style(n, nbridges, max(iters // 2, 5), repeats)
+    try:
+        t_eval, eval_groups = bench_fused_eval(n, nbridges, iters, repeats)
+    except Exception:
+        t_eval, eval_groups = None, []
 
     chain_steps = n * nbridges
     native_tput = chain_steps / t_native
@@ -217,9 +280,18 @@ def main():
                 "vs_baseline": round(native_tput / ref_tput, 3),
                 "detail": {
                     "config": f"many_gmm MCD_CAIS_var_sn N={n} K={nbridges}",
-                    "tpu_native_step_s": round(t_native, 4),
-                    "reference_style_step_s": round(t_ref, 4),
-                    "fused_pallas_eval_s": round(t_eval, 4) if t_eval else None,
+                    "native_path": native_path,
+                    "iters_per_group": iters,
+                    "repeats": repeats,
+                    "tpu_native_step_ms": round(t_native * 1e3, 3),
+                    "tpu_native_group_means_ms": r(native_groups),
+                    "tpu_native_unchunked_step_ms": round(t_unchunked * 1e3, 3),
+                    "xla_scan_step_ms": round(t_scan * 1e3, 3),
+                    "reference_style_step_ms": round(t_ref * 1e3, 3),
+                    "reference_style_group_means_ms": r(ref_groups),
+                    "fused_pallas_eval_ms": (
+                        round(t_eval * 1e3, 3) if t_eval else None
+                    ),
                     "fused_eval_chain_steps_per_s": (
                         round(chain_steps / t_eval, 1) if t_eval else None
                     ),

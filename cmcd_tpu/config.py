@@ -129,6 +129,9 @@ def get_config() -> ml_collections.ConfigDict:
 
     # New (not in reference): fused Pallas eval path + checkpointing.
     config.use_pallas_eval = True
+    # Fully-fused VarGrad training (Pallas forward + backward kernels);
+    # applies to MCD_CAIS_var_sn on targets with a registered kernel score.
+    config.use_pallas_train = True
     config.checkpoint_dir = ""
     config.checkpoint_every = 0  # 0 = disabled
     config.resume = False

@@ -122,10 +122,23 @@ def run_experiment(config, logger: MetricLogger | None = None):
         if supports_fused(setup, target):
             eval_elbo_fn = lambda p, k, n: compute_elbos_fused(p, k, n, setup, target)
             print("Using fused Pallas evaluation path.")
-            # Training defaults to the XLA scan loss: its BPTT backward is
-            # on par with the trajectory-replay gradient at flagship scale
-            # and compiles much faster. ops.fused_vargrad.var_bound_fused is
-            # the verified-exact alternative (pass via train(loss_fn=...)).
+    # Fully-fused VarGrad training (Pallas forward + backward kernels,
+    # ops/fused_train.py) — single-device only; the sharded path keeps the
+    # XLA scan loss.
+    if (
+        train_loss_fn is None
+        and config.use_pallas_train
+        and jax.default_backend() == "tpu"
+    ):
+        from cmcd_tpu.ops import supports_fused_train
+
+        if supports_fused_train(setup, target):
+            from cmcd_tpu.ops.fused_train import var_bound_pallas
+
+            train_loss_fn = lambda p, k, n, c, s: var_bound_pallas(
+                p, k, n, c, s, target
+            )
+            print("Using fused Pallas training path (forward + backward kernels).")
     if eval_elbo_fn is None and mesh is not None:
         from cmcd_tpu import parallel
 

@@ -102,13 +102,26 @@ def supports_fused(setup: bounds.CMCDSetup, target) -> bool:
 
 def default_block(dim: int) -> int:
     """Chain-block width by dimension: keep the (dim_pad, block) state and
-    its handful of step temporaries within a few MB of VMEM."""
+    its handful of step temporaries within a few MB of VMEM. Measured on
+    v5e: small-dim kernels are MXU-column-bound, so wider blocks amortize
+    the per-step fixed work (1024 beats 512 by ~1.2x at dim 2)."""
     dim_pad = _dim_pad(dim)
     if dim_pad <= 64:
-        return 512
+        return 1024
     if dim_pad <= 256:
         return 256
     return 128
+
+
+def supports_fused_train(setup: bounds.CMCDSetup, target) -> bool:
+    """True if the fully-fused VarGrad training loss
+    (ops/fused_train.var_bound_pallas) can run: CAIS_VAR mode, geffner net,
+    a registered transposed target score, and VMEM headroom."""
+    if setup.mode != "MCD_CAIS_var_sn" or setup.nn_arch != "geffner":
+        return False
+    if grad_t_for_target(target, _dim_pad(setup.dim)) is None:
+        return False
+    return _vmem_estimate(setup, target, default_block(setup.dim)) < _VMEM_BUDGET
 
 
 def compute_elbos_fused(

@@ -1,0 +1,169 @@
+"""Fully-fused VarGrad training loss: Pallas forward + Pallas backward.
+
+var_bound_pallas is a drop-in replacement for bounds.var_bound on
+MCD_CAIS_var_sn (the flagship 5x-wall-clock recipe): same (loss, (neg_elbos,
+z)) contract, same math (verified against jax.grad of the scan loss under
+injected noise in tests/test_pallas_vargrad.py), but the K-step rollout runs
+in the fused forward kernel (ops/pallas_overdamped.py) and the gradient in
+the point-centric backward kernel (ops/pallas_vargrad.py) — the trajectory
+never touches HBM; the backward re-rolls it from the same PRNG seed.
+
+Differentiation layout: everything OUTSIDE the bridge loop stays in plain
+XLA autodiff — the reparameterized initial term -log q(z0(theta)), the
+annealing-grid chain rule (mgridref_y -> betas), the VarGrad variance +
+clip. Only the summed per-step log-weight increments get a custom VJP whose
+backward is the kernel. The final-state target term and the chain states are
+stop-gradient'd exactly as the reference's VarGrad evolver does
+(src/mcd_cais_var.py:59,79).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cmcd_tpu import bounds
+from cmcd_tpu.distributions import diag_gaussian_log_prob
+from cmcd_tpu.integrators import overdamped as od
+from cmcd_tpu.ops.fused import _dim_pad, default_block
+from cmcd_tpu.ops.pallas_overdamped import evolve_overdamped_pallas, pack_geffner_t
+from cmcd_tpu.ops.pallas_vargrad import evolve_vargrad_bwd_pallas
+from cmcd_tpu.ops.target_grads import grad_t_for_target
+from cmcd_tpu.schedules import betas_from_grid
+
+
+def _make_evolve(setup, target, n_chains, block, noise, interpret):
+    """custom_vjp'd (theta, z0, seed) -> (deltas, z_final) for CAIS_VAR.
+
+    theta = {"eps", "betas", "vd_mean", "vd_logdiag", "sn"}; z0 and seed are
+    data (z0 arrives stop-gradient'd per VarGrad semantics; the backward
+    kernel re-rolls the trajectory from them)."""
+    spec = od.CAIS_VAR
+    dim = setup.dim
+    dim_pad = _dim_pad(dim)
+    grad_t = grad_t_for_target(target, dim_pad)
+
+    def _run_forward(theta, z0, seed):
+        sn_weights, sn_meta = pack_geffner_t(theta["sn"], dim, dim_pad)
+        z_final, deltas = evolve_overdamped_pallas(
+            z0,
+            jnp.zeros(n_chains),
+            theta["betas"],
+            theta["eps"],
+            theta["vd_mean"],
+            theta["vd_logdiag"],
+            grad_t,
+            spec,
+            dim=dim,
+            nbridges=setup.nbridges,
+            sn_weights=sn_weights,
+            sn_meta=sn_meta,
+            eps_schedule=setup.eps_schedule,
+            grad_clipping=setup.grad_clipping,
+            seed=seed,
+            block=block,
+            noise=noise,
+            interpret=interpret,
+        )
+        return deltas, z_final
+
+    @jax.custom_vjp
+    def evolve(theta, z0, seed):
+        return _run_forward(theta, z0, seed)
+
+    def evolve_fwd(theta, z0, seed):
+        out = _run_forward(theta, z0, seed)
+        return out, (theta, z0, seed)
+
+    def evolve_bwd(res, cots):
+        theta, z0, seed = res
+        g_deltas, _g_zfinal = cots  # z_final is consumed under stop_gradient
+        sn_weights, sn_meta = pack_geffner_t(theta["sn"], dim, dim_pad)
+        grads = evolve_vargrad_bwd_pallas(
+            z0,
+            g_deltas,
+            theta["betas"],
+            theta["eps"],
+            theta["vd_mean"],
+            theta["vd_logdiag"],
+            grad_t,
+            spec,
+            dim=dim,
+            nbridges=setup.nbridges,
+            sn_weights=sn_weights,
+            sn_meta=sn_meta,
+            eps_schedule=setup.eps_schedule,
+            grad_clipping=setup.grad_clipping,
+            seed=seed,
+            block=block,
+            noise=noise,
+            interpret=interpret,
+        )
+        g_theta = {
+            "eps": grads["eps"].astype(theta["eps"].dtype).reshape(theta["eps"].shape),
+            "betas": grads["betas"],
+            "vd_mean": grads["vd_mean"],
+            "vd_logdiag": grads["vd_logdiag"],
+            "sn": grads["sn"],
+        }
+        # factor_sn is a 0-d param; match its shape.
+        g_theta["sn"]["factor_sn"] = jnp.reshape(
+            g_theta["sn"]["factor_sn"], theta["sn"]["factor_sn"].shape
+        )
+        return g_theta, jnp.zeros_like(z0), None
+
+    evolve.defvjp(evolve_fwd, evolve_bwd)
+    return evolve
+
+
+def var_bound_pallas(
+    params,
+    key,
+    n_chains: int,
+    ctx,
+    setup: bounds.CMCDSetup,
+    target,
+    *,
+    block: int | None = None,
+    noise=None,
+    interpret: bool = False,
+):
+    """VarGrad loss with fused Pallas forward AND backward.
+
+    Same contract as bounds.var_bound (loss, (neg_elbos, z)) plus the target
+    argument. Use under jax.grad / value_and_grad exactly like the scan loss.
+    """
+    assert setup.mode == "MCD_CAIS_var_sn", (
+        "var_bound_pallas implements the VarGrad (CAIS_VAR) loss only"
+    )
+    p = bounds.merged_params(params)
+    dim = setup.dim
+    if block is None:
+        block = default_block(dim)
+
+    z_key, e_key = jax.random.split(key)
+    # Reparameterized initial draw: the -log q(z0(theta)) term carries the
+    # exact vd gradient through plain autodiff; the trajectory's use of z0
+    # is stop-gradient'd (VarGrad semantics).
+    base = jax.random.normal(z_key, (n_chains, dim))
+    mean, logdiag = p["vd"]["mean"], p["vd"]["logdiag"]
+    z0 = mean + jnp.exp(logdiag) * base
+    w0 = -diag_gaussian_log_prob(p["vd"], z0)
+
+    betas = betas_from_grid(p["mgridref_y"], p["gridref_x"], p["target_x"])
+    seed = jax.random.randint(e_key, (), 0, jnp.iinfo(jnp.int32).max)
+
+    theta = {
+        "eps": p["eps"],
+        "betas": betas,
+        "vd_mean": mean,
+        "vd_logdiag": logdiag,
+        "sn": p["sn"],
+    }
+    evolve = _make_evolve(setup, target, n_chains, block, noise, interpret)
+    deltas, z_final = evolve(theta, jax.lax.stop_gradient(z0), seed)
+
+    w = w0 + deltas + ctx.target_log_prob(jax.lax.stop_gradient(z_final))
+    neg_elbos = -w
+    loss = jnp.clip(jnp.var(neg_elbos, ddof=0), -1e7, 1e7)
+    return loss, (neg_elbos, z_final)

@@ -147,12 +147,6 @@ def evolve_overdamped_pallas(
         emb_dim = sn_meta["emb_dim"]
         in_dim = sn_meta["in_dim"]
         sn_nbridges = sn_meta["nbridges"]
-        z_sel = jnp.zeros((in_dim, dim_pad)).at[:dim, :dim].set(jnp.eye(dim))
-        e_sel = (
-            jnp.zeros((in_dim, emb_dim))
-            .at[dim : dim + emb_dim, :]
-            .set(jnp.eye(emb_dim))
-        )
 
     # ---- host-side packing into the transposed layout -------------------
     z0_t = jnp.zeros((dim_pad, n_pad), jnp.float32).at[:dim, :n].set(z0.T)
@@ -182,6 +176,15 @@ def evolve_overdamped_pallas(
     clip_t = spec.clip_target if grad_clipping else None
     clip_q = spec.clip_vd if grad_clipping else None
 
+    # CAIS-family structure (spec.bwd_sn_offset == 1): the backward kernel's
+    # net call at (z_new, i+1) is IDENTICAL to the next step's forward call,
+    # so the net output is computed once per new point and carried between
+    # steps — halves the score-net matmuls (reference evaluates it twice,
+    # src/mcd_cais.py:61,78).
+    carry_sn = bool(
+        use_sn and spec.fwd_sn and spec.bwd_sn and spec.bwd_sn_offset == 1
+    )
+
     # ---- step math (closure-converted so constants become inputs) -------
     def sn_apply(z, i, factor):
         onehot = (
@@ -191,9 +194,17 @@ def evolve_overdamped_pallas(
         emb_col = jnp.dot(
             sn_weights["emb_t"], onehot, preferred_element_type=jnp.float32
         )
-        h = jnp.dot(z_sel, z, preferred_element_type=jnp.float32) + jnp.dot(
-            e_sel, emb_col, preferred_element_type=jnp.float32
+        # Build h0 = [z[:dim]; emb broadcast] by concatenation (VPU) instead
+        # of the two selector matmuls — each matmul costs B MXU cycles
+        # regardless of its tiny row count, so this saves a full pass/step.
+        h = jnp.concatenate(
+            [z[:dim], jnp.broadcast_to(emb_col, (emb_dim, z.shape[1]))], axis=0
         )
+        if in_dim > dim + emb_dim:
+            h = jnp.concatenate(
+                [h, jnp.zeros((in_dim - dim - emb_dim, z.shape[1]), z.dtype)],
+                axis=0,
+            )
         for w_t, b_col in sn_weights["layers"]:
             h = h + jax.nn.softplus(
                 jnp.dot(w_t, h, preferred_element_type=jnp.float32) + b_col
@@ -220,35 +231,39 @@ def evolve_overdamped_pallas(
             return (1e-4 - eps0) / (nbridges - 1) * fi + eps0
         return eps0
 
-    def step_core(z, gt, w, xi, i, beta, eps0, factor):
+    def step_core(z, gt, sn_cur, w, xi, i, beta, eps0, factor):
         """One bridge step. gt is the raw target score at z, carried between
         steps so the (dominant) target-score evaluation happens once per new
-        point instead of twice per step. Returns the score at z_new."""
+        point instead of twice per step; sn_cur is the carried net output at
+        (z, i) for CAIS-family specs (zeros otherwise). Returns the score
+        (and net output) at z_new."""
         eps_i = eps_at(eps0, i)
         scale = jnp.sqrt(2.0 * eps_i)
 
         fk_mean = z - eps_i * grad_u_from(gt, z, beta)
         if spec.fwd_sn:
-            fk_mean = fk_mean - eps_i * sn_apply(z, i, factor)
+            sn_fwd = sn_cur if carry_sn else sn_apply(z, i, factor)
+            fk_mean = fk_mean - eps_i * sn_fwd
         z_new = fk_mean + scale * xi
 
         gt_new = grad_logp_t(z_new)
         bk_mean = z_new - eps_i * grad_u_from(gt_new, z_new, beta)
+        sn_new = sn_cur
         if spec.bwd_sn:
-            bk_mean = bk_mean + eps_i * sn_apply(
-                z_new, i + spec.bwd_sn_offset, factor
-            )
+            sn_new = sn_apply(z_new, i + spec.bwd_sn_offset, factor)
+            bk_mean = bk_mean + eps_i * sn_new
 
         resid = (z - bk_mean) * (1.0 / scale)
         delta = -0.5 * (
             jnp.sum(resid * resid * row_mask, axis=0, keepdims=True)
             - jnp.sum(xi * xi * row_mask, axis=0, keepdims=True)
         )
-        return z_new, gt_new, w + delta
+        return z_new, gt_new, sn_new, w + delta
 
     example = (
         jax.ShapeDtypeStruct((dim_pad, block), jnp.float32),  # z
         jax.ShapeDtypeStruct((dim_pad, block), jnp.float32),  # gt
+        jax.ShapeDtypeStruct((dim_pad, block), jnp.float32),  # sn_cur
         jax.ShapeDtypeStruct((1, block), jnp.float32),        # w
         jax.ShapeDtypeStruct((dim_pad, block), jnp.float32),  # xi
         jax.ShapeDtypeStruct((), jnp.int32),                  # i
@@ -262,15 +277,23 @@ def evolve_overdamped_pallas(
     closed_jaxpr = jax.make_jaxpr(step_core)(*example)
     step_consts = closed_jaxpr.consts
 
-    def step_conv(z, gt, w, xi, i, beta, eps0, factor, *consts):
+    def step_conv(z, gt, sn_cur, w, xi, i, beta, eps0, factor, *consts):
         out = jax.core.eval_jaxpr(
-            closed_jaxpr.jaxpr, consts, z, gt, w, xi, i, beta, eps0, factor
+            closed_jaxpr.jaxpr, consts, z, gt, sn_cur, w, xi, i, beta, eps0, factor
         )
         return tuple(out)
 
-    # Initial target score gt(z_0): its own jaxpr so its constants are also
+    # Initial target score gt(z_0) (+ the net output at (z_0, 0) when the
+    # CAIS carry is active): its own jaxpr so its constants are also
     # explicit inputs (duplicates of the step consts are cheap and rare).
-    init_jaxpr = jax.make_jaxpr(lambda z: grad_logp_t(z))(example[0])
+    def init_fn(z, factor):
+        gt0 = grad_logp_t(z)
+        sn0 = sn_apply(z, 0, factor) if carry_sn else jnp.zeros_like(z)
+        return gt0, sn0
+
+    init_jaxpr = jax.make_jaxpr(init_fn)(
+        example[0], jax.ShapeDtypeStruct((), jnp.float32)
+    )
     init_consts_raw = init_jaxpr.consts
 
     # 0-d consts can't be VMEM inputs; lift them to (1, 1).
@@ -337,7 +360,7 @@ def evolve_overdamped_pallas(
         init_consts = unpack(init_const_shapes, init_const_refs)
 
         def body(i, carry):
-            z, gt, w = carry
+            z, gt, sn_cur, w = carry
             if return_trajectory:
                 traj_ref[i] = z
             if return_drifts:
@@ -347,12 +370,12 @@ def evolve_overdamped_pallas(
                 xi = noise_ref[i]
             else:
                 xi = _box_muller((dim_pad, block))
-            return step_conv(z, gt, w, xi, i, beta, eps0, factor, *consts)
+            return step_conv(z, gt, sn_cur, w, xi, i, beta, eps0, factor, *consts)
 
         z = z_ref[:]
         w = w_ref[0:1, :]
-        gt0 = jax.core.eval_jaxpr(init_jaxpr.jaxpr, init_consts, z)[0]
-        z, gt, w = jax.lax.fori_loop(0, nbridges, body, (z, gt0, w))
+        gt0, sn0 = jax.core.eval_jaxpr(init_jaxpr.jaxpr, init_consts, z, factor)
+        z, gt, _, w = jax.lax.fori_loop(0, nbridges, body, (z, gt0, sn0, w))
         if return_drifts:
             drift_ref[nbridges] = gt
         out_z_ref[:] = z

@@ -1,0 +1,426 @@
+"""Fused Pallas backward kernel for VarGrad (MCD_CAIS_var_sn) training.
+
+The VarGrad loss stop-gradients the chain state at every step (reference
+src/mcd_cais_var.py:59,79), so the parameter gradient decomposes into
+per-step terms evaluated at the fixed trajectory — no backprop-through-time.
+Round 1 exploited this with an XLA "trajectory replay" (ops/fused_vargrad.py)
+whose batched gradient pass was the profiled bottleneck (~12 ms of a 17 ms
+step at N=2000, K=256). This kernel replaces it:
+
+- The trajectory is NEVER written to HBM: the backward kernel re-rolls the
+  identical trajectory from the same in-kernel PRNG seed (or the same
+  injected noise), step by step, and accumulates parameter gradients in
+  VMEM, writing only the final (tiny) gradient tensors.
+
+- It is POINT-centric, exploiting the CAIS structure (bwd_sn_offset == 1):
+  the forward kernel of step j and the backward kernel of step j-1 both
+  evaluate the score net at the SAME (z_j, j) (reference src/mcd_cais.py:61,78
+  — net queried at i and i+1), so each trajectory point needs exactly ONE
+  net application and ONE net VJP:
+
+      L_j(theta) = sum_n c_n * [ 1{j<K} fk_lp_j  -  1{j>0} bk_lp_{j-1} ]_n
+
+  where fk_lp_j = log N(z_{j+1}; fk_mean(z_j; theta), s_j) and
+  bk_lp_{j-1} = log N(z_{j-1}; bk_mean(z_j; theta), s_{j-1}) — both means
+  are functions of the single point z_j. Summing dL_j/dtheta over j = 0..K
+  gives the exact gradient of  sum_n c_n * sum_i (fk_lp_i - bk_lp_i).
+
+- The per-point gradient function is produced by jax.grad at TRACE time
+  (closure-converted like the forward kernel), so eps schedules, grad
+  clipping masks, the annealing-beta selection, and the score-net backward
+  all come from autodiff of the exact step math — no hand-derived formulas
+  to drift out of sync with integrators/overdamped.py.
+
+c_n is the per-chain cotangent of the summed log-weight increments (for the
+VarGrad loss XLA's autodiff of var(.) supplies it), passed in from the
+custom_vjp wrapper in ops/fused_train.py.
+
+Exactness is tested against jax.grad of the scan-based var_bound under
+injected noise (tests/test_pallas_vargrad.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cmcd_tpu.integrators.overdamped import OverdampedSpec
+from cmcd_tpu.ops.pallas_overdamped import (
+    LANE,
+    _box_muller,
+    _round_up,
+)
+
+
+def evolve_vargrad_bwd_pallas(
+    z0,
+    cot,
+    betas,
+    eps,
+    vd_mean,
+    vd_logdiag,
+    grad_logp_t: Callable,
+    spec: OverdampedSpec,
+    *,
+    dim: int,
+    nbridges: int,
+    sn_weights,
+    sn_meta,
+    eps_schedule: str = "",
+    grad_clipping: bool = False,
+    seed=0,
+    block: int = 512,
+    noise: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+):
+    """Gradient of sum_n cot_n * sum_i (bk_lp - fk_lp)_in w.r.t.
+    (eps, betas, vd_mean, vd_logdiag, sn weights), with the trajectory
+    re-rolled in-kernel from (z0, seed) [or `noise`].
+
+    NOTE the sign: this is the gradient of the summed log-weight DELTAS (the
+    quantity the forward kernel adds to w), so a caller differentiating
+    neg_elbos = -(w0 + deltas + ...) passes cot = d loss / d deltas directly.
+
+    Returns a dict of gradients: {"eps", "betas" (nbridges,), "vd_mean",
+    "vd_logdiag", "sn": {"layers": [{"w","b"},...], "head": {"w","b"},
+    "emb", "factor_sn"}} — sn entries in the ORIGINAL (untransposed)
+    geffner layout, ready to add into the parameter pytree.
+    """
+    assert spec.fwd_sn and spec.bwd_sn and spec.bwd_sn_offset == 1, (
+        "the point-centric backward kernel requires the CAIS kernel "
+        "structure (net at i and i+1)"
+    )
+    n, d = z0.shape
+    assert d == dim
+    dim_pad = max(8, _round_up(dim, 8))
+    block = _round_up(block, LANE)
+    n_pad = _round_up(n, block)
+    nblocks = n_pad // block
+
+    emb_dim = sn_meta["emb_dim"]
+    in_dim = sn_meta["in_dim"]
+    sn_nbridges = sn_meta["nbridges"]
+
+    # ---- host-side packing (identical layout to the forward kernel) -----
+    z0_t = jnp.zeros((dim_pad, n_pad), jnp.float32).at[:dim, :n].set(z0.T)
+    # Padded chains must not contribute gradients: zero cotangent.
+    cot_rows = jnp.zeros((8, n_pad), jnp.float32).at[0, :n].set(cot)
+    mean_col = jnp.zeros((dim_pad, 1), jnp.float32).at[:dim, 0].set(vd_mean)
+    logdiag_col = (
+        jnp.zeros((dim_pad, 1), jnp.float32).at[:dim, 0].set(vd_logdiag)
+    )
+    row_mask = (jnp.arange(dim_pad) < dim).astype(jnp.float32)[:, None]
+    betas_row = jnp.asarray(betas, jnp.float32).reshape(1, nbridges)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+
+    inject_noise = noise is not None
+    if inject_noise:
+        noise_t = (
+            jnp.zeros((nbridges, dim_pad, n_pad), jnp.float32)
+            .at[:, :dim, :n]
+            .set(jnp.swapaxes(noise, 1, 2))
+        )
+
+    clip_t = spec.clip_target if grad_clipping else None
+    clip_q = spec.clip_vd if grad_clipping else None
+
+    # theta: every differentiable parameter, as explicit args so jax.grad
+    # can produce their cotangents. Layout matches pack_geffner_t.
+    layer_ws = [w_t for (w_t, _) in sn_weights["layers"]]
+    layer_bs = [b_col for (_, b_col) in sn_weights["layers"]]
+    head_w, head_b = sn_weights["head"]
+    theta = (
+        jnp.asarray(eps, jnp.float32).reshape(1, 1),
+        jnp.asarray(sn_weights["factor_sn"], jnp.float32).reshape(1, 1),
+        betas_row,
+        mean_col,
+        logdiag_col,
+        sn_weights["emb_t"],
+        head_w,
+        head_b,
+        *layer_ws,
+        *layer_bs,
+    )
+    n_layers = len(layer_ws)
+
+    def eps_at(eps0, fj):
+        if eps_schedule == "cos_sq":
+            phase = fj / nbridges
+            return eps0 * jnp.cos((phase + 0.008) / 1.008 * 0.5 * jnp.pi) ** 2
+        if eps_schedule == "linear":
+            return (1e-4 - eps0) / (nbridges - 1) * fj + eps0
+        return eps0
+
+    log_2pi = 1.8378770664093453
+
+    def point_fn(theta, z_prev, z, gt, xi, j, c_row):
+        """Differentiable loss contribution of trajectory point z_j, plus
+        (aux) the next rollout state. All z/gt inputs are fixed data; only
+        theta carries gradients (VarGrad stop-gradient semantics)."""
+        (eps_arr, factor_arr, betas_r, mean_c, logdiag_c, emb_t,
+         head_w, head_b) = theta[:8]
+        ws = theta[8 : 8 + n_layers]
+        bs = theta[8 + n_layers : 8 + 2 * n_layers]
+        eps0 = eps_arr[0, 0]
+        factor = factor_arr[0, 0]
+
+        fj = j.astype(jnp.float32)
+        # beta selection as a differentiable masked reduction over the grid.
+        lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, nbridges), 1)
+        onehot_j = (lane_idx == j).astype(jnp.float32)
+        onehot_p = (lane_idx == j - 1).astype(jnp.float32)
+        beta_j = jnp.sum(betas_r * onehot_j)
+        beta_p = jnp.sum(betas_r * onehot_p)
+
+        # ONE net application at (z_j, clamp(j)) — serves the forward kernel
+        # of step j AND the backward kernel of step j-1 (CAIS offset-1).
+        emb_onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (sn_nbridges, 1), 0)
+            == jnp.clip(j, 0, sn_nbridges - 1)
+        ).astype(jnp.float32)
+        emb_col = jnp.dot(emb_t, emb_onehot, preferred_element_type=jnp.float32)
+        # h0 by concatenation (z is stopped data; emb carries the gradient).
+        h = jnp.concatenate(
+            [
+                jax.lax.stop_gradient(z[:dim]),
+                jnp.broadcast_to(emb_col, (emb_dim, z.shape[1])),
+            ],
+            axis=0,
+        )
+        if in_dim > dim + emb_dim:
+            h = jnp.concatenate(
+                [h, jnp.zeros((in_dim - dim - emb_dim, z.shape[1]), z.dtype)],
+                axis=0,
+            )
+        for w_t, b_col in zip(ws, bs):
+            h = h + jax.nn.softplus(
+                jnp.dot(w_t, h, preferred_element_type=jnp.float32) + b_col
+            )
+        sn_out = (
+            jnp.dot(head_w, h, preferred_element_type=jnp.float32) + head_b
+        ) * factor
+
+        # Clipped annealed drift pieces at z_j (gt is data; gq is theta).
+        gq = -(z - mean_c) * jnp.exp(-2.0 * logdiag_c)
+        gt_c = jnp.clip(gt, -clip_t, clip_t) if clip_t is not None else gt
+        gq_c = jnp.clip(gq, -clip_q, clip_q) if clip_q is not None else gq
+
+        def drift(beta):
+            return (beta * gt_c + (1.0 - beta) * gq_c) * row_mask
+
+        # Forward kernel of step j: z_j -> z_{j+1}.
+        eps_j = eps_at(eps0, fj)
+        s2_j = 2.0 * eps_j
+        fk_mean = z + eps_j * drift(beta_j) - eps_j * sn_out
+        # Stop the WHOLE next state (mean AND noise scaling): the reference
+        # stop-gradients z_new after forming it (src/mcd_cais_var.py:79), so
+        # no eps gradient may leak through the sqrt(2 eps) noise term.
+        z_next = jax.lax.stop_gradient(fk_mean + jnp.sqrt(s2_j) * xi)
+        r_fk = (z_next - fk_mean) * row_mask
+        fk_lp = (
+            -0.5 * jnp.sum(r_fk * r_fk, axis=0, keepdims=True) / s2_j
+            - 0.5 * dim * (jnp.log(s2_j) + log_2pi)
+        )
+
+        # Backward kernel of step j-1: mean at z_j, evaluated at z_{j-1}.
+        eps_p = eps_at(eps0, fj - 1.0)
+        s2_p = 2.0 * eps_p
+        bk_mean = z + eps_p * drift(beta_p) + eps_p * sn_out
+        r_bk = (z_prev - bk_mean) * row_mask
+        bk_lp = (
+            -0.5 * jnp.sum(r_bk * r_bk, axis=0, keepdims=True) / s2_p
+            - 0.5 * dim * (jnp.log(s2_p) + log_2pi)
+        )
+
+        # deltas = sum_i (bk_lp - fk_lp); grads of sum_n c_n * deltas_n.
+        m_fk = (j <= nbridges - 1).astype(jnp.float32)
+        m_bk = (j >= 1).astype(jnp.float32)
+        loss = jnp.sum(c_row * (m_bk * bk_lp - m_fk * fk_lp))
+        return loss, z_next
+
+    grad_fn = jax.grad(point_fn, argnums=0, has_aux=True)
+
+    example_theta = tuple(jax.ShapeDtypeStruct(t.shape, t.dtype) for t in theta)
+    zb = jax.ShapeDtypeStruct((dim_pad, block), jnp.float32)
+    example = (
+        example_theta,
+        zb,  # z_prev
+        zb,  # z
+        zb,  # gt
+        zb,  # xi
+        jax.ShapeDtypeStruct((), jnp.int32),  # j
+        jax.ShapeDtypeStruct((1, block), jnp.float32),  # c_row
+    )
+    point_jaxpr = jax.make_jaxpr(grad_fn)(*example)
+    point_consts = point_jaxpr.consts
+
+    gt_jaxpr = jax.make_jaxpr(lambda z: grad_logp_t(z))(zb)
+    gt_consts_raw = gt_jaxpr.consts
+
+    def pack_consts(raw):
+        shapes, arrays = [], []
+        for c in raw:
+            c = jnp.asarray(c, jnp.float32 if c.dtype == jnp.float64 else c.dtype)
+            if c.ndim == 0:
+                c = c.reshape(1, 1)
+                shapes.append(("scalar", c.shape))
+            elif c.ndim == 1:
+                c = c.reshape(1, -1)
+                shapes.append(("vec", c.shape))
+            else:
+                shapes.append(("arr", c.shape))
+            arrays.append(c)
+        return shapes, arrays
+
+    const_shapes, const_inputs = pack_consts(point_consts)
+    gt_const_shapes, gt_const_inputs = pack_consts(gt_consts_raw)
+
+    n_theta = len(theta)
+
+    def kernel(*refs):
+        idx = 0
+        seed_ref = refs[idx]; idx += 1
+        z_ref = refs[idx]; idx += 1
+        c_ref = refs[idx]; idx += 1
+        theta_refs = refs[idx : idx + n_theta]; idx += n_theta
+        noise_ref = None
+        if inject_noise:
+            noise_ref = refs[idx]; idx += 1
+        const_refs = refs[idx : idx + len(const_inputs)]
+        idx += len(const_inputs)
+        gt_const_refs = refs[idx : idx + len(gt_const_inputs)]
+        idx += len(gt_const_inputs)
+        out_refs = refs[idx : idx + n_theta]; idx += n_theta
+
+        pid = pl.program_id(0)
+        if not inject_noise:
+            pltpu.prng_seed(seed_ref[0, 0] + pid)
+
+        def unpack(shapes, refs_):
+            vals = []
+            for (kind, shape), ref in zip(shapes, refs_):
+                v = ref[:]
+                if kind == "scalar":
+                    v = v[0, 0]
+                elif kind == "vec":
+                    v = v[0]
+                vals.append(v)
+            return vals
+
+        consts = unpack(const_shapes, const_refs)
+        gt_consts = unpack(gt_const_shapes, gt_const_refs)
+        theta_vals = tuple(r[:] for r in theta_refs)
+        c_row = c_ref[0:1, :]
+
+        def gt_of(z):
+            return jax.core.eval_jaxpr(gt_jaxpr.jaxpr, gt_consts, z)[0]
+
+        def body(j, carry):
+            z_prev, z, gt, acc = carry
+            if inject_noise:
+                xi = noise_ref[jnp.minimum(j, nbridges - 1)]
+            else:
+                xi = _box_muller((dim_pad, block))
+            flat_in = (
+                list(theta_vals) + [z_prev, z, gt, xi, j, c_row]
+            )
+            out = jax.core.eval_jaxpr(point_jaxpr.jaxpr, consts, *flat_in)
+            g_theta, z_next = tuple(out[:n_theta]), out[n_theta]
+            acc = tuple(a + g for a, g in zip(acc, g_theta))
+            gt_next = gt_of(z_next)
+            return (z, z_next, gt_next, acc)
+
+        z = z_ref[:]
+        gt0 = gt_of(z)
+        acc0 = tuple(jnp.zeros(t.shape, jnp.float32) for t in theta_vals)
+        # K+1 iterations: point j = 0..K (point K contributes only its
+        # backward-kernel term; its xi draw is a harmless tail consume).
+        _, _, _, acc = jax.lax.fori_loop(
+            0, nbridges + 1, body, (jnp.zeros_like(z), z, gt0, acc0)
+        )
+
+        # Accumulate across sequential grid blocks (output index maps are
+        # constant, so the same VMEM block is revisited by every program).
+        for o_ref, a in zip(out_refs, acc):
+            @pl.when(pid == 0)
+            def _init(o_ref=o_ref, a=a):
+                o_ref[:] = a
+
+            @pl.when(pid != 0)
+            def _acc(o_ref=o_ref, a=a):
+                o_ref[:] = o_ref[:] + a
+
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    inputs = [seed_arr, z0_t, cot_rows]
+    for t in theta:
+        in_specs.append(
+            pl.BlockSpec(
+                t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM
+            )
+        )
+        inputs.append(t)
+    if inject_noise:
+        in_specs.append(
+            pl.BlockSpec(
+                (nbridges, dim_pad, block),
+                lambda i: (0, 0, i),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(noise_t)
+    for c in const_inputs + gt_const_inputs:
+        in_specs.append(
+            pl.BlockSpec(
+                c.shape, lambda i, nd=c.ndim: (0,) * nd, memory_space=pltpu.VMEM
+            )
+        )
+        inputs.append(c)
+
+    out_specs = [
+        pl.BlockSpec(
+            t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM
+        )
+        for t in theta
+    ]
+    out_shape = [jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=(
+            pltpu.InterpretParams()
+            if (interpret and not inject_noise)
+            else interpret
+        ),
+    )(*inputs)
+
+    (g_eps, g_factor, g_betas, g_mean, g_logdiag, g_emb_t, g_head_w,
+     g_head_b) = outs[:8]
+    g_ws = outs[8 : 8 + n_layers]
+    g_bs = outs[8 + n_layers : 8 + 2 * n_layers]
+
+    return {
+        "eps": g_eps[0, 0],
+        "betas": g_betas[0],
+        "vd_mean": g_mean[:dim, 0],
+        "vd_logdiag": g_logdiag[:dim, 0],
+        "sn": {
+            "layers": [
+                {"w": w.T, "b": b[:, 0]} for w, b in zip(g_ws, g_bs)
+            ],
+            "head": {"w": g_head_w[:dim].T, "b": g_head_b[:dim, 0]},
+            "emb": g_emb_t.T,
+            "factor_sn": g_factor[0, 0],
+        },
+    }

@@ -136,24 +136,24 @@ def make_many_gmm_grad_t(dim_pad: int, n_mixes: int = 40, loc_scaling: float = 4
     # logp_k(x) = c_k + (M_w x)_k - 0.5 (x^2 . inv_var), with
     # M_w = means * inv_var and c_k = log_norm_k - 0.5 sum_i m_ki^2 inv_i.
     # grad = inv_var * (means^T r - x)  since sum_k r_k = 1.
+    # MXU cost is (#matmuls x columns), so the linear and quadratic terms are
+    # STACKED into one (K, 4) @ (4, B) matmul, and the two responsibility
+    # contractions into one (4, K) @ (K, B) — 2 matmul passes per call, not 4.
     m_w = means * inv_var  # (K, 2)
     c = log_norm - 0.5 * jnp.sum(means * means * inv_var, axis=-1)  # (K,)
+    fwd_mat = jnp.concatenate([m_w, -0.5 * inv_var], axis=1)  # (K, 4)
+    bwd_mat = jnp.concatenate([m_w.T, inv_var.T], axis=0)  # (4, K)
 
     def grad_t(z_t):
         x = z_t[0:2, :]  # (2, B)
-        # (K, 2) @ (2, B) -> (K, B); the per-component quadratic term is a
-        # second matmul on x^2 (inv_var differs per component and per dim).
-        lin = jnp.dot(m_w, x, preferred_element_type=jnp.float32)
-        quad_k = -0.5 * jnp.dot(inv_var, x * x, preferred_element_type=jnp.float32)
-        logp = lin + quad_k + c[:, None]  # (K, B)
+        feats = jnp.concatenate([x, x * x], axis=0)  # (4, B)
+        logp = jnp.dot(fwd_mat, feats, preferred_element_type=jnp.float32) + c[:, None]
         m = jnp.max(logp, axis=0, keepdims=True)
         r = jnp.exp(logp - m)
         r = r / jnp.sum(r, axis=0, keepdims=True)  # (K, B)
-        # grad_i = sum_k r_k inv_ki (m_ki - x_i)
-        #        = (M_w^T r)_i - x_i * (inv_var^T r)_i
-        g = jnp.dot(m_w.T, r, preferred_element_type=jnp.float32) - x * jnp.dot(
-            inv_var.T, r, preferred_element_type=jnp.float32
-        )
+        # rows 0-1: M_w^T r; rows 2-3: inv_var^T r.
+        contr = jnp.dot(bwd_mat, r, preferred_element_type=jnp.float32)  # (4, B)
+        g = contr[0:2, :] - x * contr[2:4, :]
         return jnp.concatenate(
             [g, jnp.zeros((z_t.shape[0] - 2, z_t.shape[1]), z_t.dtype)], axis=0
         )

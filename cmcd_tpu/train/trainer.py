@@ -83,6 +83,7 @@ def train(
     resume: bool = False,
     profile_dir: str = "",
     profile_steps: tuple = (5, 10),
+    steps_per_call: int = 0,
 ) -> TrainResult:
     """Run the optimizer loop.
 
@@ -98,17 +99,46 @@ def train(
     run reproduces the uninterrupted loss curve exactly (new capability vs
     the reference, SURVEY.md §5). profile_dir captures a jax.profiler trace
     of steps profile_steps (relative to the first step of this call).
+
+    steps_per_call: optimizer steps fused into ONE jitted call (a lax.scan),
+    amortizing the per-dispatch host overhead (~1.5 ms/call on this TPU
+    relay — it dominates once the device step is a few ms). 0 = auto: the
+    gcd of the active cadences (log/callback/NaN/checkpoint), capped at 25,
+    so every logging/checkpoint step still lands on a call boundary. The
+    PRNG stream, per-step losses, ring buffer, and checkpoints are
+    bit-identical to steps_per_call=1; only the z/neg_elbos handed to the
+    callback come from the chunk's last step rather than the boundary step.
     """
     loss_fn = loss_fn or bounds.loss_fn_for_mode(setup.mode)
     optimizer = create_optimizer(lr)
     opt_state = optimizer.init(params["train"])
     notrain = params["notrain"]
     use_ring = track_last_losses > 0
-    ring = jnp.full((max(track_last_losses, 1),), jnp.nan) if use_ring else None
+    ring_size = max(track_last_losses, 1)
+    ring = jnp.full((ring_size,), jnp.nan) if use_ring else None
     ema = jax.tree_util.tree_map(jnp.copy, params["train"]) if use_ema else None
 
     log_every = log_every or max(iters // 1000, 1)
     callback_every = callback_every or max(iters // 100, 1)
+
+    if steps_per_call <= 0:
+        import math
+
+        cadences = [log_every, callback_every, nan_check_every, max(iters, 1)]
+        if checkpoint is not None and checkpoint_every > 0:
+            cadences.append(checkpoint_every)
+        if profile_dir:
+            cadences.extend([max(profile_steps[0], 1), max(profile_steps[1], 1)])
+        g = math.gcd(*cadences)
+        # Largest divisor of g that is <= 25 (so chunks always end exactly on
+        # every cadence boundary AND on iters itself — no tail chunk).
+        steps_per_call = next(d for d in range(min(g, 25), 0, -1) if g % d == 0)
+    chunk = max(steps_per_call, 1)
+    if (iters - 0) % chunk != 0 and iters > 0:
+        raise ValueError(
+            f"steps_per_call={chunk} must divide iters={iters} (pass "
+            f"steps_per_call=0 for a safe automatic choice)"
+        )
 
     def update_fn(train_p, notrain, opt_state, ema, ring, slot, step_key):
         def loss_of(train_p):
@@ -127,6 +157,30 @@ def train(
             ring = ring.at[slot].set(loss)
         grad_mean = jax.flatten_util.ravel_pytree(grads)[0].mean()
         return train_p, opt_state, ema, ring, loss, grad_mean, neg_elbos, z
+
+    def chunk_fn(train_p, notrain, opt_state, ema, ring, i0, key):
+        """`chunk` sequential optimizer steps in one call. The per-step key
+        split matches the single-step host loop exactly."""
+
+        def body(carry, t):
+            train_p, opt_state, ema, ring, key = carry
+            key, step_key = jax.random.split(key)
+            slot = (i0 + t) % ring_size
+            train_p, opt_state, ema, ring, loss, grad_mean, neg_elbos, z = (
+                update_fn(train_p, notrain, opt_state, ema, ring, slot, step_key)
+            )
+            return (train_p, opt_state, ema, ring, key), (
+                loss, grad_mean, neg_elbos, z
+            )
+
+        (train_p, opt_state, ema, ring, key), (losses, gms, nes, zs) = (
+            jax.lax.scan(
+                body,
+                (train_p, opt_state, ema, ring, key),
+                jnp.arange(chunk),
+            )
+        )
+        return train_p, opt_state, ema, ring, key, losses, gms, nes[-1], zs[-1]
 
     train_p = params["train"]
 
@@ -154,7 +208,7 @@ def train(
     from cmcd_tpu.utils.jit import const_hoisted_jit
 
     update = const_hoisted_jit(
-        update_fn, train_p, notrain, opt_state, ema, ring,
+        chunk_fn, train_p, notrain, opt_state, ema, ring,
         jnp.asarray(0, jnp.int32), jax.random.PRNGKey(0)
     )
 
@@ -173,43 +227,54 @@ def train(
             extra=extra,
         )
 
-    for i in range(start_step, iters):
-        key, step_key = jax.random.split(key)
-        slot = jnp.asarray(i % max(track_last_losses, 1), jnp.int32)
-        train_p, opt_state, ema, ring, loss, grad_mean, neg_elbos, z = update(
-            train_p, notrain, opt_state, ema, ring, slot, step_key
-        )
-        steps_done = i + 1
-
-        if profile_dir and i - start_step == profile_steps[0]:
-            jax.block_until_ready(loss)
+    for i0 in range(start_step, iters, chunk):
+        c = chunk
+        if profile_dir and i0 - start_step == profile_steps[0]:
+            jax.block_until_ready(train_p)
             jax.profiler.start_trace(profile_dir)
-        if profile_dir and i - start_step == profile_steps[1]:
-            jax.block_until_ready(loss)
+        if profile_dir and i0 - start_step == profile_steps[1]:
+            jax.block_until_ready(train_p)
             jax.profiler.stop_trace()
 
-        if i % nan_check_every == 0 or i == iters - 1:
-            loss_host = float(loss)
-            if not jnp.isfinite(loss_host):
+        i0_dev = jnp.asarray(i0 % ring_size, jnp.int32)
+        train_p, opt_state, ema, ring, key, c_losses, c_gms, neg_elbos, z = (
+            update(train_p, notrain, opt_state, ema, ring, i0_dev, key)
+        )
+        steps_done = min(i0 + chunk, iters)
+
+        check_nan = any(
+            i % nan_check_every == 0 for i in range(i0, i0 + c)
+        ) or steps_done == iters
+        if check_nan:
+            if not bool(jnp.isfinite(c_losses).all()):
                 diverged = True
                 train_p = last_finite
+                steps_done = i0
                 break
             last_finite = train_p
 
-        if i % log_every == 0:
-            losses.append(float(loss))
-        if callback is not None and i % callback_every == 0:
-            info = {
-                "step": i,
-                "loss": float(loss),
-                "grad_mean": float(grad_mean),
-                "var_loss": float(jnp.var(neg_elbos, ddof=1)),
-            }
-            merged = {**train_p, **notrain}
-            info["eps"] = float(merged["eps"])
-            if "gamma" in merged:
-                info["gamma"] = float(merged["gamma"])
-            callback(i, info, z)
+        c_losses_host = None
+        for i in range(i0, i0 + c):
+            if i % log_every == 0:
+                if c_losses_host is None:
+                    c_losses_host = jax.device_get(c_losses)
+                losses.append(float(c_losses_host[i - i0]))
+        if callback is not None:
+            for i in range(i0, i0 + c):
+                if i % callback_every == 0:
+                    if c_losses_host is None:
+                        c_losses_host = jax.device_get(c_losses)
+                    info = {
+                        "step": i,
+                        "loss": float(c_losses_host[i - i0]),
+                        "grad_mean": float(jax.device_get(c_gms)[i - i0]),
+                        "var_loss": float(jnp.var(neg_elbos, ddof=1)),
+                    }
+                    merged = {**train_p, **notrain}
+                    info["eps"] = float(merged["eps"])
+                    if "gamma" in merged:
+                        info["gamma"] = float(merged["gamma"])
+                    callback(i, info, z)
         if (
             checkpoint is not None
             and checkpoint_every > 0

@@ -185,6 +185,34 @@ def test_checkpoint_kill_and_resume_reproduces_run(tmp_path):
         onp.testing.assert_allclose(onp.asarray(a), onp.asarray(b), atol=1e-6)
 
 
+def test_chunked_steps_match_single_steps():
+    """steps_per_call > 1 (lax.scan of updates inside one jit) must produce
+    the same params and per-step loss stream as the per-step host loop — the
+    key splits happen in the same order either way."""
+    target = shifted_normal_target(dim=2, mean=1.0)
+    setup = bounds.CMCDSetup(mode="MCD_CAIS_sn", dim=2, nbridges=4, emb_dim=8)
+    trainable = bounds.default_trainable(setup.mode)
+    params, ctx = bounds.initialize(
+        setup, target.log_prob, eps=0.05, trainable=trainable
+    )
+    kw = dict(
+        lr=5e-3, iters=60, batch_size=32, trainable=trainable,
+        log_every=5, track_last_losses=12,
+    )
+    a = train(setup, params, ctx, key=jax.random.PRNGKey(3), steps_per_call=1, **kw)
+    b = train(setup, params, ctx, key=jax.random.PRNGKey(3), steps_per_call=10, **kw)
+    onp.testing.assert_allclose(
+        onp.asarray(a.losses), onp.asarray(b.losses), rtol=1e-6
+    )
+    onp.testing.assert_allclose(
+        onp.asarray(a.last_losses), onp.asarray(b.last_losses), rtol=1e-6
+    )
+    for x, y in zip(
+        jax.tree_util.tree_leaves(a.params), jax.tree_util.tree_leaves(b.params)
+    ):
+        onp.testing.assert_allclose(onp.asarray(x), onp.asarray(y), atol=1e-6)
+
+
 def test_eps_schedule_ignored_outside_cais_modes():
     """Reference dispatch passes no eps schedule to non-CAIS integrators
     (src/mcd_utils.py); a ULA setup must produce schedule-invariant output."""
