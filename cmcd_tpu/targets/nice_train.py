@@ -59,6 +59,14 @@ def logit_transform(x, alpha: float):
 
 
 def load_images(path: str | None, im_size: int, n_synth: int = 4096):
+    if path == "digits":
+        # sklearn's bundled handwritten-digits set (1797 8x8 images, values
+        # 0..16) — the real-image stand-in for MNIST in this offline
+        # environment (reference trains on tfds MNIST, src/nice_run.py:22).
+        from sklearn.datasets import load_digits
+
+        imgs = load_digits().images.astype(onp.float32) * (255.0 / 16.0)
+        return resize_images(imgs, im_size)
     if path is None:
         # Synthetic fallback: smooth random blobs (offline smoke training).
         key = jax.random.PRNGKey(0)

@@ -203,3 +203,22 @@ def test_nice_flow_bijective_and_normalized():
     jac = jax.jacobian(lambda v: nice_mod.nice_forward(small, v[None, :])[0])(x0)
     det = onp.linalg.det(onp.asarray(jac))
     onp.testing.assert_allclose(abs(det), 1.0, rtol=1e-4)
+
+
+def test_nice_committed_checkpoint_loads():
+    """The digit-trained flow checkpoint ships with the repo and is the
+    default nice target; it must load and assign much higher density to its
+    own samples than to noise (i.e. it is genuinely trained, not random)."""
+    import os
+
+    from cmcd_tpu.targets import nice as nice_mod
+
+    assert os.path.exists(nice_mod._DEFAULT_CKPT), "nice checkpoint missing"
+    t = load_target("nice")
+    assert t.dim == 196
+    key = jax.random.PRNGKey(0)
+    own = t.sample(key, 64)
+    lp_own = float(jnp.mean(t.log_prob(own)))
+    lp_noise = float(jnp.mean(t.log_prob(jax.random.normal(key, (64, 196)) * 3.0)))
+    assert jnp.isfinite(lp_own)
+    assert lp_own > lp_noise + 100.0
