@@ -212,15 +212,16 @@ def bench_reference_style(n, nbridges, iters, repeats):
     return time_steps(step, state, iters, repeats)
 
 
-def bench_fused_eval(n, nbridges, iters, repeats):
-    """Forward/eval throughput on the fused Pallas kernel."""
+def bench_fused_eval(n, nbridges, iters, repeats, calls_per_dispatch=10):
+    """Forward/eval throughput on the fused Pallas kernel (several eval
+    calls fused per dispatch, like eval's lax.map over seed groups does)."""
     import cmcd_tpu
     from cmcd_tpu.ops.fused import compute_elbos_fused
     from cmcd_tpu.utils import const_hoisted_jit
 
     target, setup, trainable, params, ctx = _flagship_problem(n, nbridges)
 
-    def step(state):
+    def one(state):
         params, key, acc = state
         key, sk = jax.random.split(key)
         ne, _ = compute_elbos_fused(params, sk, n, setup, target)
@@ -228,9 +229,15 @@ def bench_fused_eval(n, nbridges, iters, repeats):
         key = jax.random.fold_in(key, (acc > 0).astype(jnp.int32))
         return (params, key, acc)
 
+    def step(state):
+        return jax.lax.scan(
+            lambda s, _: (one(s), None), state, None, length=calls_per_dispatch
+        )[0]
+
     state = (params, jax.random.PRNGKey(0), jnp.float32(0.0))
     fn = const_hoisted_jit(step, state)
-    return time_steps(fn, state, iters, repeats)
+    t, groups = time_steps(fn, state, max(iters // calls_per_dispatch, 3), repeats)
+    return t / calls_per_dispatch, [g / calls_per_dispatch for g in groups]
 
 
 def main():

@@ -185,6 +185,43 @@ def evolve_overdamped_pallas(
         use_sn and spec.fwd_sn and spec.bwd_sn and spec.bwd_sn_offset == 1
     )
 
+    # MXU pass-packing: a small matmul costs the full column bandwidth
+    # regardless of its row/contraction size, so when the target score
+    # exposes its two matmul stages (grad_logp_t.stages, e.g. many_gmm) and
+    # the net is the 2-residual-layer geffner, each target stage rides
+    # block-diagonally with one net layer: 3 MXU passes per point instead
+    # of 5. Bit-exact (the zero blocks contribute exact 0.0).
+    staged = getattr(grad_logp_t, "stages", None)
+    fuse_point = bool(
+        carry_sn and staged is not None and len(sn_weights["layers"]) == 2
+    )
+    if fuse_point:
+        a_w = jnp.asarray(staged["a_w"], jnp.float32)      # (Ka, a_in)
+        b_w = jnp.asarray(staged["b_w"], jnp.float32)      # (Kb, Ka)
+        ka, a_in_dim = a_w.shape
+        kb = b_w.shape[0]
+        ka_pad = _round_up(ka, 8)
+        a_in_pad = _round_up(a_in_dim, 8)
+        kb_pad = _round_up(kb, 8)
+        in_pad2 = _round_up(in_dim, 8)
+        (w1, b1), (w2, b2) = sn_weights["layers"]
+        packed_w1 = (
+            jnp.zeros((ka_pad + in_pad2, a_in_pad + in_pad2))
+            .at[:ka, :a_in_dim].set(a_w)
+            .at[ka_pad : ka_pad + in_dim, a_in_pad : a_in_pad + in_dim].set(w1)
+        )
+        packed_w2 = (
+            jnp.zeros((kb_pad + in_pad2, ka_pad + in_pad2))
+            .at[:kb, :ka].set(b_w)
+            .at[kb_pad : kb_pad + in_dim, ka_pad : ka_pad + in_dim].set(w2)
+        )
+        b1_pad = jnp.zeros((in_pad2, 1)).at[:in_dim].set(b1)
+        b2_pad = jnp.zeros((in_pad2, 1)).at[:in_dim].set(b2)
+        head_w_raw, head_b_raw = sn_weights["head"]
+        head_pad = jnp.zeros((head_w_raw.shape[0], in_pad2)).at[:, :in_dim].set(
+            head_w_raw
+        )
+
     # ---- step math (closure-converted so constants become inputs) -------
     def sn_apply(z, i, factor):
         onehot = (
@@ -212,6 +249,58 @@ def evolve_overdamped_pallas(
         head_w, head_b = sn_weights["head"]
         out = jnp.dot(head_w, h, preferred_element_type=jnp.float32) + head_b
         return out * factor
+
+    def _h0_of(z, emb_col, pad_to):
+        b_cols = z.shape[1]
+        h = jnp.concatenate(
+            [z[:dim], jnp.broadcast_to(emb_col, (emb_dim, b_cols))], axis=0
+        )
+        if pad_to > dim + emb_dim:
+            h = jnp.concatenate(
+                [h, jnp.zeros((pad_to - dim - emb_dim, b_cols), z.dtype)], axis=0
+            )
+        return h
+
+    def point_eval(z, i, factor):
+        """(target score, net output) at one point in 3 MXU passes (the two
+        block-diagonal packed passes + the head)."""
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (sn_nbridges, 1), 0)
+            == jnp.clip(i, 0, sn_nbridges - 1)
+        ).astype(jnp.float32)
+        emb_col = jnp.dot(
+            sn_weights["emb_t"], onehot, preferred_element_type=jnp.float32
+        )
+        b_cols = z.shape[1]
+        h0 = _h0_of(z, emb_col, in_pad2)
+        a_in = staged["a_in"](z)  # (a_in_dim, B)
+        if a_in_pad > a_in_dim:
+            a_in = jnp.concatenate(
+                [a_in, jnp.zeros((a_in_pad - a_in_dim, b_cols), z.dtype)], axis=0
+            )
+        s = jnp.dot(
+            packed_w1,
+            jnp.concatenate([a_in, h0], axis=0),
+            preferred_element_type=jnp.float32,
+        )
+        r = staged["mid"](s[:ka])
+        h1 = h0 + jax.nn.softplus(s[ka_pad : ka_pad + in_pad2] + b1_pad)
+        if ka_pad > ka:
+            r = jnp.concatenate(
+                [r, jnp.zeros((ka_pad - ka, b_cols), z.dtype)], axis=0
+            )
+        s2 = jnp.dot(
+            packed_w2,
+            jnp.concatenate([r, h1], axis=0),
+            preferred_element_type=jnp.float32,
+        )
+        gt = staged["fin"](s2[:kb], z)
+        h2 = h1 + jax.nn.softplus(s2[kb_pad : kb_pad + in_pad2] + b2_pad)
+        out = (
+            jnp.dot(head_pad, h2, preferred_element_type=jnp.float32)
+            + head_b_raw
+        )
+        return gt, out * factor
 
     def grad_u_from(gt, z, beta):
         """Annealed drift from a precomputed raw target score gt."""
@@ -246,11 +335,15 @@ def evolve_overdamped_pallas(
             fk_mean = fk_mean - eps_i * sn_fwd
         z_new = fk_mean + scale * xi
 
-        gt_new = grad_logp_t(z_new)
-        bk_mean = z_new - eps_i * grad_u_from(gt_new, z_new, beta)
         sn_new = sn_cur
+        if fuse_point:
+            gt_new, sn_new = point_eval(z_new, i + spec.bwd_sn_offset, factor)
+        else:
+            gt_new = grad_logp_t(z_new)
+            if spec.bwd_sn:
+                sn_new = sn_apply(z_new, i + spec.bwd_sn_offset, factor)
+        bk_mean = z_new - eps_i * grad_u_from(gt_new, z_new, beta)
         if spec.bwd_sn:
-            sn_new = sn_apply(z_new, i + spec.bwd_sn_offset, factor)
             bk_mean = bk_mean + eps_i * sn_new
 
         resid = (z - bk_mean) * (1.0 / scale)
@@ -287,6 +380,8 @@ def evolve_overdamped_pallas(
     # CAIS carry is active): its own jaxpr so its constants are also
     # explicit inputs (duplicates of the step consts are cheap and rare).
     def init_fn(z, factor):
+        if fuse_point:
+            return point_eval(z, 0, factor)
         gt0 = grad_logp_t(z)
         sn0 = sn_apply(z, 0, factor) if carry_sn else jnp.zeros_like(z)
         return gt0, sn0

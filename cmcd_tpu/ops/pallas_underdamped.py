@@ -103,22 +103,6 @@ def evolve_underdamped_pallas(
         in_dim = sn_meta["in_dim"]
         sn_nbridges = sn_meta["nbridges"]
         full = sn_meta["full_sn"]
-        z_sel = jnp.zeros((in_dim, dim_pad)).at[:dim, :dim].set(jnp.eye(dim))
-        if full:
-            r_sel = (
-                jnp.zeros((in_dim, dim_pad))
-                .at[dim : 2 * dim, :dim]
-                .set(jnp.eye(dim))
-            )
-            e_off = 2 * dim
-        else:
-            r_sel = None
-            e_off = dim
-        e_sel = (
-            jnp.zeros((in_dim, emb_dim))
-            .at[e_off : e_off + emb_dim, :]
-            .set(jnp.eye(emb_dim))
-        )
 
     z0_t = jnp.zeros((dim_pad, n_pad), jnp.float32).at[:dim, :n].set(z0.T)
     mean_t = jnp.zeros((dim_pad, 1), jnp.float32).at[:dim, 0].set(vd_mean)
@@ -167,11 +151,18 @@ def evolve_underdamped_pallas(
         emb_col = jnp.dot(
             sn_weights["emb_t"], onehot, preferred_element_type=jnp.float32
         )
-        h = jnp.dot(z_sel, z, preferred_element_type=jnp.float32) + jnp.dot(
-            e_sel, emb_col, preferred_element_type=jnp.float32
-        )
+        # h0 = [z; (rho;) emb] by concatenation (VPU) instead of selector
+        # matmuls — each matmul costs B MXU cycles regardless of row count.
+        b_cols = z.shape[1]
+        parts = [z[:dim]]
         if full and rho is not None:
-            h = h + jnp.dot(r_sel, rho, preferred_element_type=jnp.float32)
+            parts.append(rho[:dim])
+        parts.append(jnp.broadcast_to(emb_col, (emb_dim, b_cols)))
+        h = jnp.concatenate(parts, axis=0)
+        if in_dim > h.shape[0]:
+            h = jnp.concatenate(
+                [h, jnp.zeros((in_dim - h.shape[0], b_cols), z.dtype)], axis=0
+            )
         for w_t, b_col in sn_weights["layers"]:
             h = h + jax.nn.softplus(
                 jnp.dot(w_t, h, preferred_element_type=jnp.float32) + b_col

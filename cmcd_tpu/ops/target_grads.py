@@ -144,20 +144,39 @@ def make_many_gmm_grad_t(dim_pad: int, n_mixes: int = 40, loc_scaling: float = 4
     fwd_mat = jnp.concatenate([m_w, -0.5 * inv_var], axis=1)  # (K, 4)
     bwd_mat = jnp.concatenate([m_w.T, inv_var.T], axis=0)  # (4, K)
 
-    def grad_t(z_t):
+    def stage_a_in(z_t):
         x = z_t[0:2, :]  # (2, B)
-        feats = jnp.concatenate([x, x * x], axis=0)  # (4, B)
-        logp = jnp.dot(fwd_mat, feats, preferred_element_type=jnp.float32) + c[:, None]
+        return jnp.concatenate([x, x * x], axis=0)  # (4, B)
+
+    def stage_mid(s_a):
+        logp = s_a + c[:, None]
         m = jnp.max(logp, axis=0, keepdims=True)
         r = jnp.exp(logp - m)
-        r = r / jnp.sum(r, axis=0, keepdims=True)  # (K, B)
-        # rows 0-1: M_w^T r; rows 2-3: inv_var^T r.
-        contr = jnp.dot(bwd_mat, r, preferred_element_type=jnp.float32)  # (4, B)
-        g = contr[0:2, :] - x * contr[2:4, :]
+        return r / jnp.sum(r, axis=0, keepdims=True)  # (K, B)
+
+    def stage_fin(s_b, z_t):
+        x = z_t[0:2, :]
+        g = s_b[0:2, :] - x * s_b[2:4, :]
         return jnp.concatenate(
             [g, jnp.zeros((z_t.shape[0] - 2, z_t.shape[1]), z_t.dtype)], axis=0
         )
 
+    def grad_t(z_t):
+        s_a = jnp.dot(fwd_mat, stage_a_in(z_t), preferred_element_type=jnp.float32)
+        r = stage_mid(s_a)
+        s_b = jnp.dot(bwd_mat, r, preferred_element_type=jnp.float32)
+        return stage_fin(s_b, z_t)
+
+    # Staged protocol for MXU pass-packing (ops/pallas_overdamped.py): the
+    # two matmuls can ride block-diagonally alongside a score-net layer each
+    # (grad_t(z) == stage_fin(B @ stage_mid(A @ stage_a_in(z)), z) exactly).
+    grad_t.stages = {
+        "a_w": fwd_mat,        # (K, 4)
+        "a_in": stage_a_in,    # z_t -> (4, B)
+        "mid": stage_mid,      # (K, B) -> (K, B)
+        "b_w": bwd_mat,        # (4, K)
+        "fin": stage_fin,      # ((4, B), z_t) -> (dim_pad, B)
+    }
     return grad_t
 
 
