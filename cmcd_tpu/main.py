@@ -123,22 +123,30 @@ def run_experiment(config, logger: MetricLogger | None = None):
             eval_elbo_fn = lambda p, k, n: compute_elbos_fused(p, k, n, setup, target)
             print("Using fused Pallas evaluation path.")
     # Fully-fused VarGrad training (Pallas forward + backward kernels,
-    # ops/fused_train.py) — single-device only; the sharded path keeps the
-    # XLA scan loss.
-    if (
-        train_loss_fn is None
-        and config.use_pallas_train
-        and jax.default_backend() == "tpu"
-    ):
+    # ops/fused_train.py); with a mesh, each device runs the kernels on its
+    # chain shard (parallel.sharded_var_bound_pallas).
+    if config.use_pallas_train and jax.default_backend() == "tpu":
         from cmcd_tpu.ops import supports_fused_train
 
         if supports_fused_train(setup, target):
-            from cmcd_tpu.ops.fused_train import var_bound_pallas
+            if mesh is not None:
+                from cmcd_tpu import parallel
 
-            train_loss_fn = lambda p, k, n, c, s: var_bound_pallas(
-                p, k, n, c, s, target
-            )
-            print("Using fused Pallas training path (forward + backward kernels).")
+                train_loss_fn = lambda p, k, n, c, s: (
+                    parallel.sharded_var_bound_pallas(
+                        p, k, n, c, s, target, mesh=mesh
+                    )
+                )
+                print("Using SHARDED fused Pallas training path.")
+            else:
+                from cmcd_tpu.ops.fused_train import var_bound_pallas
+
+                train_loss_fn = lambda p, k, n, c, s: var_bound_pallas(
+                    p, k, n, c, s, target
+                )
+                print(
+                    "Using fused Pallas training path (forward + backward kernels)."
+                )
     if eval_elbo_fn is None and mesh is not None:
         from cmcd_tpu import parallel
 

@@ -32,18 +32,21 @@ from cmcd_tpu.ops.target_grads import grad_t_for_target
 from cmcd_tpu.schedules import betas_from_grid
 
 
-def _make_evolve(setup, target, n_chains, block, noise, interpret):
-    """custom_vjp'd (theta, z0, seed) -> (deltas, z_final) for CAIS_VAR.
+def _make_evolve(setup, target, n_chains, block, interpret):
+    """custom_vjp'd (theta, z0, seed, noise) -> (deltas, z_final) for
+    CAIS_VAR.
 
-    theta = {"eps", "betas", "vd_mean", "vd_logdiag", "sn"}; z0 and seed are
-    data (z0 arrives stop-gradient'd per VarGrad semantics; the backward
-    kernel re-rolls the trajectory from them)."""
+    theta = {"eps", "betas", "vd_mean", "vd_logdiag", "sn"}; z0, seed, and
+    noise are data (z0 arrives stop-gradient'd per VarGrad semantics; the
+    backward kernel re-rolls the trajectory from them). noise is an explicit
+    argument — not a closure — so the whole thing works when traced inside
+    shard_map (custom_vjp forbids closed-over tracers)."""
     spec = od.CAIS_VAR
     dim = setup.dim
     dim_pad = _dim_pad(dim)
     grad_t = grad_t_for_target(target, dim_pad)
 
-    def _run_forward(theta, z0, seed):
+    def _run_forward(theta, z0, seed, noise):
         sn_weights, sn_meta = pack_geffner_t(theta["sn"], dim, dim_pad)
         z_final, deltas = evolve_overdamped_pallas(
             z0,
@@ -68,15 +71,15 @@ def _make_evolve(setup, target, n_chains, block, noise, interpret):
         return deltas, z_final
 
     @jax.custom_vjp
-    def evolve(theta, z0, seed):
-        return _run_forward(theta, z0, seed)
+    def evolve(theta, z0, seed, noise):
+        return _run_forward(theta, z0, seed, noise)
 
-    def evolve_fwd(theta, z0, seed):
-        out = _run_forward(theta, z0, seed)
-        return out, (theta, z0, seed)
+    def evolve_fwd(theta, z0, seed, noise):
+        out = _run_forward(theta, z0, seed, noise)
+        return out, (theta, z0, seed, noise)
 
     def evolve_bwd(res, cots):
-        theta, z0, seed = res
+        theta, z0, seed, noise = res
         g_deltas, _g_zfinal = cots  # z_final is consumed under stop_gradient
         sn_weights, sn_meta = pack_geffner_t(theta["sn"], dim, dim_pad)
         grads = evolve_vargrad_bwd_pallas(
@@ -110,13 +113,14 @@ def _make_evolve(setup, target, n_chains, block, noise, interpret):
         g_theta["sn"]["factor_sn"] = jnp.reshape(
             g_theta["sn"]["factor_sn"], theta["sn"]["factor_sn"].shape
         )
-        return g_theta, jnp.zeros_like(z0), None
+        g_noise = None if noise is None else jnp.zeros_like(noise)
+        return g_theta, jnp.zeros_like(z0), None, g_noise
 
     evolve.defvjp(evolve_fwd, evolve_bwd)
     return evolve
 
 
-def var_bound_pallas(
+def neg_elbos_pallas(
     params,
     key,
     n_chains: int,
@@ -128,13 +132,17 @@ def var_bound_pallas(
     noise=None,
     interpret: bool = False,
 ):
-    """VarGrad loss with fused Pallas forward AND backward.
+    """Per-chain negative ELBOs via the fused forward kernel, differentiable
+    in params through the fused backward kernel (VarGrad semantics: the
+    chain states are stop-gradient'd; gradients flow through the per-step
+    kernel log-probs and the reparameterized initial term).
 
-    Same contract as bounds.var_bound (loss, (neg_elbos, z)) plus the target
-    argument. Use under jax.grad / value_and_grad exactly like the scan loss.
+    This is the building block both var_bound_pallas and the sharded
+    multi-chip loss (parallel.sharded_var_bound_pallas) compose with their
+    own (global) reduction.
     """
     assert setup.mode == "MCD_CAIS_var_sn", (
-        "var_bound_pallas implements the VarGrad (CAIS_VAR) loss only"
+        "the fused training path implements the VarGrad (CAIS_VAR) loss only"
     )
     p = bounds.merged_params(params)
     dim = setup.dim
@@ -160,10 +168,33 @@ def var_bound_pallas(
         "vd_logdiag": logdiag,
         "sn": p["sn"],
     }
-    evolve = _make_evolve(setup, target, n_chains, block, noise, interpret)
-    deltas, z_final = evolve(theta, jax.lax.stop_gradient(z0), seed)
+    evolve = _make_evolve(setup, target, n_chains, block, interpret)
+    deltas, z_final = evolve(theta, jax.lax.stop_gradient(z0), seed, noise)
 
     w = w0 + deltas + ctx.target_log_prob(jax.lax.stop_gradient(z_final))
-    neg_elbos = -w
+    return -w, z_final
+
+
+def var_bound_pallas(
+    params,
+    key,
+    n_chains: int,
+    ctx,
+    setup: bounds.CMCDSetup,
+    target,
+    *,
+    block: int | None = None,
+    noise=None,
+    interpret: bool = False,
+):
+    """VarGrad loss with fused Pallas forward AND backward.
+
+    Same contract as bounds.var_bound (loss, (neg_elbos, z)) plus the target
+    argument. Use under jax.grad / value_and_grad exactly like the scan loss.
+    """
+    neg_elbos, z_final = neg_elbos_pallas(
+        params, key, n_chains, ctx, setup, target,
+        block=block, noise=noise, interpret=interpret,
+    )
     loss = jnp.clip(jnp.var(neg_elbos, ddof=0), -1e7, 1e7)
     return loss, (neg_elbos, z_final)

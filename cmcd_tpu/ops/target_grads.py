@@ -302,9 +302,16 @@ TARGET_GRAD_T_BUILDERS = {
 def grad_t_for_target(target, dim_pad: int):
     """Transposed-layout gradient matching the target's construction params,
     or None (caller must fall back to the XLA scan path)."""
+    import jax
+
     builder = TARGET_GRAD_T_BUILDERS.get(target.name)
     if builder is None:
         return None
     if target.name.startswith("log_") and not target.params.get("dset"):
         return None  # logreg target built outside make_logreg; unknown data
-    return builder(target, dim_pad)
+    # Build-time constants (mixture means, Cholesky factors, ...) must be
+    # CONCRETE even when this is called inside a trace (e.g. under
+    # shard_map): the returned closure feeds custom_vjp'd Pallas kernels,
+    # and closed-over tracers there are an error.
+    with jax.ensure_compile_time_eval():
+        return builder(target, dim_pad)

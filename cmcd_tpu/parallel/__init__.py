@@ -7,6 +7,7 @@ from cmcd_tpu.parallel.sharding import (
     sharded_ln_z,
     sharded_loss_for_mode,
     sharded_var_bound,
+    sharded_var_bound_pallas,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "sharded_ln_z",
     "sharded_loss_for_mode",
     "sharded_var_bound",
+    "sharded_var_bound_pallas",
 ]
