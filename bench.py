@@ -245,9 +245,9 @@ def main():
     nbridges = int(os.environ.get("BENCH_NBRIDGES", 256))
     iters = int(os.environ.get("BENCH_ITERS", 20))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
-    # 20 matches the trainer's automatic steps_per_call on the flagship
-    # recipe (gcd of log/callback/NaN cadences at iters=40000, capped 25).
-    chunk = int(os.environ.get("BENCH_STEPS_PER_CALL", 20))
+    # 100 matches the trainer's automatic steps_per_call (largest divisor of
+    # iters <= 100; measured ~15% faster than chunk 20 at the flagship size).
+    chunk = int(os.environ.get("BENCH_STEPS_PER_CALL", 100))
 
     def r(ms_list):
         return [round(t * 1e3, 3) for t in ms_list]

@@ -4,9 +4,12 @@ var_bound_pallas is a drop-in replacement for bounds.var_bound on
 MCD_CAIS_var_sn (the flagship 5x-wall-clock recipe): same (loss, (neg_elbos,
 z)) contract, same math (verified against jax.grad of the scan loss under
 injected noise in tests/test_pallas_vargrad.py), but the K-step rollout runs
-in the fused forward kernel (ops/pallas_overdamped.py) and the gradient in
-the point-centric backward kernel (ops/pallas_vargrad.py) — the trajectory
-never touches HBM; the backward re-rolls it from the same PRNG seed.
+in the fused forward kernel (ops/pallas_overdamped.py) and the gradient in a
+point-centric backward kernel (ops/pallas_vargrad.py). Two backward
+strategies (see _make_evolve): "replay" stores the forward's trajectory and
+batches the gradient over all points with no sequential dependency;
+"reroll" stores nothing and regenerates the trajectory from the same PRNG
+seed.
 
 Differentiation layout: everything OUTSIDE the bridge loop stays in plain
 XLA autodiff — the reparameterized initial term -log q(z0(theta)), the
@@ -27,28 +30,54 @@ from cmcd_tpu.distributions import diag_gaussian_log_prob
 from cmcd_tpu.integrators import overdamped as od
 from cmcd_tpu.ops.fused import _dim_pad, default_block
 from cmcd_tpu.ops.pallas_overdamped import evolve_overdamped_pallas, pack_geffner_t
-from cmcd_tpu.ops.pallas_vargrad import evolve_vargrad_bwd_pallas
+from cmcd_tpu.ops.pallas_vargrad import (
+    evolve_vargrad_bwd_pallas,
+    evolve_vargrad_bwd_replay,
+)
 from cmcd_tpu.ops.target_grads import grad_t_for_target
 from cmcd_tpu.schedules import betas_from_grid
 
 
-def _make_evolve(setup, target, n_chains, block, interpret):
+# The stored trajectory residual costs (K+1) * dim_pad * n_pad * 4 bytes
+# between the forward and backward kernels; past this budget fall back to
+# the zero-memory re-rolling backward.
+_REPLAY_BYTES_BUDGET = 256 * 1024 * 1024
+
+
+def _make_evolve(setup, target, n_chains, block, interpret, backward="auto"):
     """custom_vjp'd (theta, z0, seed, noise) -> (deltas, z_final) for
     CAIS_VAR.
 
     theta = {"eps", "betas", "vd_mean", "vd_logdiag", "sn"}; z0, seed, and
-    noise are data (z0 arrives stop-gradient'd per VarGrad semantics; the
-    backward kernel re-rolls the trajectory from them). noise is an explicit
-    argument — not a closure — so the whole thing works when traced inside
-    shard_map (custom_vjp forbids closed-over tracers)."""
+    noise are data (z0 arrives stop-gradient'd per VarGrad semantics).
+
+    backward selects the gradient kernel:
+    - "replay" (default for ordinary sizes): the forward kernel stores the
+      trajectory (raw transposed layout, kept on-chip or in HBM by XLA);
+      the backward is the batched replay kernel streaming it back — an
+      embarrassingly parallel grid with no re-rolling
+      (evolve_vargrad_bwd_replay).
+    - "reroll": the backward re-generates the trajectory from the same PRNG
+      seed, storing nothing (evolve_vargrad_bwd_pallas) — for sizes where
+      the trajectory residual would be prohibitive.
+    - "auto": replay unless the residual exceeds _REPLAY_BYTES_BUDGET.
+
+    noise is an explicit argument — not a closure — so the whole thing
+    works when traced inside shard_map (custom_vjp forbids closed-over
+    tracers)."""
     spec = od.CAIS_VAR
     dim = setup.dim
     dim_pad = _dim_pad(dim)
     grad_t = grad_t_for_target(target, dim_pad)
+    if backward == "auto":
+        n_pad = -(-n_chains // block) * block
+        traj_bytes = (setup.nbridges + 1) * dim_pad * n_pad * 4
+        backward = "replay" if traj_bytes <= _REPLAY_BYTES_BUDGET else "reroll"
+    use_replay = backward == "replay"
 
     def _run_forward(theta, z0, seed, noise):
         sn_weights, sn_meta = pack_geffner_t(theta["sn"], dim, dim_pad)
-        z_final, deltas = evolve_overdamped_pallas(
+        out = evolve_overdamped_pallas(
             z0,
             jnp.zeros(n_chains),
             theta["betas"],
@@ -66,42 +95,65 @@ def _make_evolve(setup, target, n_chains, block, interpret):
             seed=seed,
             block=block,
             noise=noise,
+            return_trajectory_t=use_replay,
             interpret=interpret,
         )
-        return deltas, z_final
+        if use_replay:
+            z_final, deltas, traj_t = out
+        else:
+            (z_final, deltas), traj_t = out, None
+        return deltas, z_final, traj_t
 
     @jax.custom_vjp
     def evolve(theta, z0, seed, noise):
-        return _run_forward(theta, z0, seed, noise)
+        deltas, z_final, _ = _run_forward(theta, z0, seed, noise)
+        return deltas, z_final
 
     def evolve_fwd(theta, z0, seed, noise):
-        out = _run_forward(theta, z0, seed, noise)
-        return out, (theta, z0, seed, noise)
+        deltas, z_final, traj_t = _run_forward(theta, z0, seed, noise)
+        return (deltas, z_final), (theta, traj_t, z0, seed, noise)
 
     def evolve_bwd(res, cots):
-        theta, z0, seed, noise = res
+        theta, traj_t, z0, seed, noise = res
         g_deltas, _g_zfinal = cots  # z_final is consumed under stop_gradient
         sn_weights, sn_meta = pack_geffner_t(theta["sn"], dim, dim_pad)
-        grads = evolve_vargrad_bwd_pallas(
-            z0,
-            g_deltas,
-            theta["betas"],
-            theta["eps"],
-            theta["vd_mean"],
-            theta["vd_logdiag"],
-            grad_t,
-            spec,
+        common = dict(
             dim=dim,
             nbridges=setup.nbridges,
             sn_weights=sn_weights,
             sn_meta=sn_meta,
             eps_schedule=setup.eps_schedule,
             grad_clipping=setup.grad_clipping,
-            seed=seed,
             block=block,
-            noise=noise,
             interpret=interpret,
         )
+        if use_replay:
+            grads = evolve_vargrad_bwd_replay(
+                traj_t,
+                g_deltas,
+                theta["betas"],
+                theta["eps"],
+                theta["vd_mean"],
+                theta["vd_logdiag"],
+                grad_t,
+                spec,
+                n_chains=n_chains,
+                **common,
+            )
+        else:
+            grads = evolve_vargrad_bwd_pallas(
+                z0,
+                g_deltas,
+                theta["betas"],
+                theta["eps"],
+                theta["vd_mean"],
+                theta["vd_logdiag"],
+                grad_t,
+                spec,
+                seed=seed,
+                noise=noise,
+                **common,
+            )
         g_theta = {
             "eps": grads["eps"].astype(theta["eps"].dtype).reshape(theta["eps"].shape),
             "betas": grads["betas"],
@@ -131,6 +183,7 @@ def neg_elbos_pallas(
     block: int | None = None,
     noise=None,
     interpret: bool = False,
+    backward: str = "auto",
 ):
     """Per-chain negative ELBOs via the fused forward kernel, differentiable
     in params through the fused backward kernel (VarGrad semantics: the
@@ -168,7 +221,7 @@ def neg_elbos_pallas(
         "vd_logdiag": logdiag,
         "sn": p["sn"],
     }
-    evolve = _make_evolve(setup, target, n_chains, block, interpret)
+    evolve = _make_evolve(setup, target, n_chains, block, interpret, backward)
     deltas, z_final = evolve(theta, jax.lax.stop_gradient(z0), seed, noise)
 
     w = w0 + deltas + ctx.target_log_prob(jax.lax.stop_gradient(z_final))
@@ -186,6 +239,7 @@ def var_bound_pallas(
     block: int | None = None,
     noise=None,
     interpret: bool = False,
+    backward: str = "auto",
 ):
     """VarGrad loss with fused Pallas forward AND backward.
 
@@ -194,7 +248,7 @@ def var_bound_pallas(
     """
     neg_elbos, z_final = neg_elbos_pallas(
         params, key, n_chains, ctx, setup, target,
-        block=block, noise=noise, interpret=interpret,
+        block=block, noise=noise, interpret=interpret, backward=backward,
     )
     loss = jnp.clip(jnp.var(neg_elbos, ddof=0), -1e7, 1e7)
     return loss, (neg_elbos, z_final)

@@ -115,6 +115,7 @@ def evolve_overdamped_pallas(
     block: int = 512,
     noise: Optional[jnp.ndarray] = None,
     return_trajectory: bool = False,
+    return_trajectory_t: bool = False,
     return_drifts: bool = False,
     interpret: bool = False,
 ):
@@ -129,6 +130,11 @@ def evolve_overdamped_pallas(
     return_trajectory: additionally return the pre-step states
     z_traj (nbridges, N, dim) (z_traj[i] is the state BEFORE step i) — the
     residuals for the trajectory-replay VarGrad gradient (ops/fused.py).
+    return_trajectory_t: additionally return the FULL trajectory
+    z_0..z_K in the kernel's raw transposed layout
+    (nbridges + 1, dim_pad, n_pad) with NO host-side repacking — the input
+    the batched replay backward kernel (ops/pallas_vargrad.py) streams from
+    HBM. Mutually exclusive with return_trajectory.
     return_drifts: additionally return the raw target scores
     gt_traj (nbridges + 1, N, dim) at [z_0..z_K] (computed in-kernel anyway;
     saves the replay loss its most expensive recompute).
@@ -407,8 +413,22 @@ def evolve_overdamped_pallas(
             arrays.append(c)
         return shapes, arrays
 
-    const_shapes, const_inputs = pack_consts(step_consts)
-    init_const_shapes, init_const_inputs = pack_consts(init_consts_raw)
+    # The init jaxpr closes over the SAME arrays as the step jaxpr (net
+    # weights, target constants) — intern by object identity so each enters
+    # the kernel ONCE (for LGCP the weights are ~40 MB; duplicating them
+    # doubles the kernel's VMEM footprint).
+    _interned, _ids = [], {}
+
+    def _intern(c):
+        k = id(c)
+        if k not in _ids:
+            _ids[k] = len(_interned)
+            _interned.append(c)
+        return _ids[k]
+
+    step_const_map = [_intern(c) for c in step_consts]
+    init_const_map = [_intern(c) for c in init_consts_raw]
+    const_shapes, const_inputs = pack_consts(_interned)
 
     def kernel(*refs):
         idx = 0
@@ -422,12 +442,10 @@ def evolve_overdamped_pallas(
             noise_ref = refs[idx]; idx += 1
         const_refs = refs[idx : idx + len(const_inputs)]
         idx += len(const_inputs)
-        init_const_refs = refs[idx : idx + len(init_const_inputs)]
-        idx += len(init_const_inputs)
         out_z_ref = refs[idx]; idx += 1
         out_w_ref = refs[idx]; idx += 1
         traj_ref = None
-        if return_trajectory:
+        if return_trajectory or return_trajectory_t:
             traj_ref = refs[idx]; idx += 1
         drift_ref = None
         if return_drifts:
@@ -451,12 +469,13 @@ def evolve_overdamped_pallas(
                 vals.append(v)
             return vals
 
-        consts = unpack(const_shapes, const_refs)
-        init_consts = unpack(init_const_shapes, init_const_refs)
+        all_consts = unpack(const_shapes, const_refs)
+        consts = [all_consts[i] for i in step_const_map]
+        init_consts = [all_consts[i] for i in init_const_map]
 
         def body(i, carry):
             z, gt, sn_cur, w = carry
-            if return_trajectory:
+            if return_trajectory or return_trajectory_t:
                 traj_ref[i] = z
             if return_drifts:
                 drift_ref[i] = gt
@@ -473,6 +492,8 @@ def evolve_overdamped_pallas(
         z, gt, _, w = jax.lax.fori_loop(0, nbridges, body, (z, gt0, sn0, w))
         if return_drifts:
             drift_ref[nbridges] = gt
+        if return_trajectory_t:
+            traj_ref[nbridges] = z
         out_z_ref[:] = z
         out_w_ref[:] = jnp.broadcast_to(w, (8, block))
 
@@ -493,7 +514,7 @@ def evolve_overdamped_pallas(
             )
         )
         inputs.append(noise_t)
-    for c in const_inputs + init_const_inputs:
+    for c in const_inputs:
         in_specs.append(
             pl.BlockSpec(
                 c.shape, lambda i, nd=c.ndim: (0,) * nd, memory_space=pltpu.VMEM
@@ -509,16 +530,18 @@ def evolve_overdamped_pallas(
         jax.ShapeDtypeStruct((dim_pad, n_pad), jnp.float32),
         jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
     ]
-    if return_trajectory:
+    assert not (return_trajectory and return_trajectory_t)
+    if return_trajectory or return_trajectory_t:
+        n_traj = nbridges + 1 if return_trajectory_t else nbridges
         out_specs.append(
             pl.BlockSpec(
-                (nbridges, dim_pad, block),
+                (n_traj, dim_pad, block),
                 lambda i: (0, 0, i),
                 memory_space=pltpu.VMEM,
             )
         )
         out_shape.append(
-            jax.ShapeDtypeStruct((nbridges, dim_pad, n_pad), jnp.float32)
+            jax.ShapeDtypeStruct((n_traj, dim_pad, n_pad), jnp.float32)
         )
     if return_drifts:
         out_specs.append(
@@ -532,6 +555,25 @@ def evolve_overdamped_pallas(
             jax.ShapeDtypeStruct((nbridges + 1, dim_pad, n_pad), jnp.float32)
         )
 
+    kwargs = {}
+    if not interpret:
+        # Ask for the scoped-VMEM the kernel actually needs instead of the
+        # conservative 16 MB default (v5e has ~128 MB physical VMEM). This
+        # lets (a) the raw trajectory output stay ON-CHIP between this
+        # kernel and the replay backward kernel, and (b) large-dim targets
+        # (LGCP: ~40 MB of score-net weights + a 10 MB precision matrix)
+        # run fused at all.
+        need = sum(int(x.size) * x.dtype.itemsize for x in inputs)
+        need += sum(
+            4 * int(jnp.prod(jnp.asarray(s.shape))) for s in out_shape
+        )
+        need += 10 * dim_pad * block * 4  # step temporaries headroom
+        if need > 14 * 1024 * 1024:
+            # 2x: weight/constant VALUES loaded in the kernel body live in
+            # register-allocator spill slots on top of their input windows.
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=min(2 * need, 120 * 1024 * 1024)
+            )
     outs = pl.pallas_call(
         kernel,
         grid=(nblocks,),
@@ -541,6 +583,7 @@ def evolve_overdamped_pallas(
         # Generic interpret mode has no TPU PRNG; use the TPU interpreter
         # when the kernel generates its own noise.
         interpret=(pltpu.InterpretParams() if (interpret and not inject_noise) else interpret),
+        **kwargs,
     )(*inputs)
 
     out_z_t, out_w = outs[0], outs[1]
@@ -550,6 +593,9 @@ def evolve_overdamped_pallas(
     k = 2
     if return_trajectory:
         result.append(jnp.swapaxes(outs[k][:, :dim, :n], 1, 2))  # (K, N, dim)
+        k += 1
+    if return_trajectory_t:
+        result.append(outs[k])  # (K + 1, dim_pad, n_pad) raw
         k += 1
     if return_drifts:
         result.append(jnp.swapaxes(outs[k][:, :dim, :n], 1, 2))  # (K+1, N, dim)

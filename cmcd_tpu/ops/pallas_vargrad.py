@@ -1,35 +1,42 @@
-"""Fused Pallas backward kernel for VarGrad (MCD_CAIS_var_sn) training.
+"""Fused Pallas backward kernels for VarGrad (MCD_CAIS_var_sn) training.
 
 The VarGrad loss stop-gradients the chain state at every step (reference
 src/mcd_cais_var.py:59,79), so the parameter gradient decomposes into
 per-step terms evaluated at the fixed trajectory — no backprop-through-time.
 Round 1 exploited this with an XLA "trajectory replay" (ops/fused_vargrad.py)
 whose batched gradient pass was the profiled bottleneck (~12 ms of a 17 ms
-step at N=2000, K=256). This kernel replaces it:
+step at N=2000, K=256). Two kernels replace it (selected by
+ops/fused_train._make_evolve):
 
-- The trajectory is NEVER written to HBM: the backward kernel re-rolls the
+- evolve_vargrad_bwd_replay (default): the forward kernel stores the raw
+  transposed trajectory; this kernel streams it back as an embarrassingly
+  parallel (trajectory-window, chain-block) grid — no PRNG, no sequential
+  dependency. XLA keeps the ~17 MB flagship-size trajectory on-chip
+  between the kernels (the forward raises its scoped-VMEM limit).
+
+- evolve_vargrad_bwd_pallas ("reroll"): stores NOTHING — re-generates the
   identical trajectory from the same in-kernel PRNG seed (or the same
-  injected noise), step by step, and accumulates parameter gradients in
-  VMEM, writing only the final (tiny) gradient tensors.
+  injected noise) step by step. For sizes where the trajectory residual
+  would be prohibitive.
 
-- It is POINT-centric, exploiting the CAIS structure (bwd_sn_offset == 1):
-  the forward kernel of step j and the backward kernel of step j-1 both
-  evaluate the score net at the SAME (z_j, j) (reference src/mcd_cais.py:61,78
-  — net queried at i and i+1), so each trajectory point needs exactly ONE
-  net application and ONE net VJP:
+Both are POINT-centric, exploiting the CAIS structure (bwd_sn_offset == 1):
+the forward kernel of step j and the backward kernel of step j-1 both
+evaluate the score net at the SAME (z_j, j) (reference src/mcd_cais.py:61,78
+— net queried at i and i+1), so each trajectory point needs exactly ONE
+net application and ONE net VJP:
 
       L_j(theta) = sum_n c_n * [ 1{j<K} fk_lp_j  -  1{j>0} bk_lp_{j-1} ]_n
 
-  where fk_lp_j = log N(z_{j+1}; fk_mean(z_j; theta), s_j) and
-  bk_lp_{j-1} = log N(z_{j-1}; bk_mean(z_j; theta), s_{j-1}) — both means
-  are functions of the single point z_j. Summing dL_j/dtheta over j = 0..K
-  gives the exact gradient of  sum_n c_n * sum_i (fk_lp_i - bk_lp_i).
+where fk_lp_j = log N(z_{j+1}; fk_mean(z_j; theta), s_j) and
+bk_lp_{j-1} = log N(z_{j-1}; bk_mean(z_j; theta), s_{j-1}) — both means
+are functions of the single point z_j. Summing dL_j/dtheta over j = 0..K
+gives the exact gradient of  sum_n c_n * sum_i (fk_lp_i - bk_lp_i).
 
-- The per-point gradient function is produced by jax.grad at TRACE time
-  (closure-converted like the forward kernel), so eps schedules, grad
-  clipping masks, the annealing-beta selection, and the score-net backward
-  all come from autodiff of the exact step math — no hand-derived formulas
-  to drift out of sync with integrators/overdamped.py.
+The per-point gradient function is produced by jax.grad at TRACE time
+(closure-converted like the forward kernel), so eps schedules, grad
+clipping masks, the annealing-beta selection, and the score-net backward
+all come from autodiff of the exact step math — no hand-derived formulas
+to drift out of sync with integrators/overdamped.py.
 
 c_n is the per-chain cotangent of the summed log-weight increments (for the
 VarGrad loss XLA's autodiff of var(.) supplies it), passed in from the
@@ -54,6 +61,378 @@ from cmcd_tpu.ops.pallas_overdamped import (
     _box_muller,
     _round_up,
 )
+
+
+def evolve_vargrad_bwd_replay(
+    traj_t,
+    cot,
+    betas,
+    eps,
+    vd_mean,
+    vd_logdiag,
+    grad_logp_t: Callable,
+    spec: OverdampedSpec,
+    *,
+    dim: int,
+    nbridges: int,
+    n_chains: int,
+    sn_weights,
+    sn_meta,
+    eps_schedule: str = "",
+    grad_clipping: bool = False,
+    block: int = 1024,
+    points_per_program: int = 1,
+    interpret: bool = False,
+):
+    """Batched-replay VarGrad backward: gradients from a STORED trajectory.
+
+    The re-rolling backward kernel (evolve_vargrad_bwd_pallas) is
+    throughput-bound on per-column VPU work, and half of that work is the
+    primal rollout itself (box_muller noise, the z_{j+1} update chain, the
+    carried target score). Since the VarGrad gradient is a sum of
+    independent per-point terms (stop-gradient at every step), storing the
+    forward kernel's trajectory in HBM (~(K+1) * dim_pad * N * 4 bytes —
+    ~17 MB for the flagship recipe, trivial HBM traffic) turns the backward
+    into an embarrassingly parallel grid over (trajectory windows, chain
+    block): each program streams overlapping windows of
+    `points_per_program` stored states from HBM, runs ONE score-net
+    application + VJP per point, and accumulates the parameter gradients
+    in VMEM. No PRNG, no sequential dependency, no noise plumbing.
+    Multiple points per program amortize the ~1.7 us fixed program cost
+    (prologue + 16 output-ref accumulations), measured to dominate at one
+    point per program.
+
+    traj_t: (nbridges + 1, dim_pad, n_pad) raw transposed trajectory from
+    evolve_overdamped_pallas(..., return_trajectory_t=True).
+    cot: (n_chains,) cotangent of the per-chain summed log-weight deltas.
+
+    Point j's loss term (CAIS structure, net queried once per point —
+    reference src/mcd_cais.py:61,78):
+        L_j = sum_n c_n * [ 1{j>=1} bk_lp_{j-1} - 1{j<=K-1} fk_lp_j ]_n
+    with fk_lp_j = log N(z_{j+1}; fk_mean(z_j; theta), s_j) and
+    bk_lp_{j-1} = log N(z_{j-1}; bk_mean(z_j; theta), s_{j-1}); z_* are
+    data (VarGrad stop-gradient semantics), only theta carries gradients.
+
+    Returns the same gradient dict as evolve_vargrad_bwd_pallas.
+    """
+    assert spec.fwd_sn and spec.bwd_sn and spec.bwd_sn_offset == 1, (
+        "the point-centric backward requires the CAIS kernel structure"
+    )
+    n_traj, dim_pad, n_pad = traj_t.shape
+    assert n_traj == nbridges + 1
+    block = _round_up(block, LANE)
+    if n_pad % block != 0:
+        # The forward may have used a different chain-block width; fall back
+        # to the largest LANE multiple dividing n_pad.
+        block = next(
+            b for b in range(min(block, n_pad), 0, -LANE) if n_pad % b == 0
+        )
+    nchunks = n_pad // block
+
+    emb_dim = sn_meta["emb_dim"]
+    in_dim = sn_meta["in_dim"]
+    sn_nbridges = sn_meta["nbridges"]
+
+    # Padded chains must not contribute gradients: zero cotangent.
+    cot_rows = jnp.zeros((8, n_pad), jnp.float32).at[0, :n_chains].set(cot)
+    mean_col = jnp.zeros((dim_pad, 1), jnp.float32).at[:dim, 0].set(vd_mean)
+    logdiag_col = (
+        jnp.zeros((dim_pad, 1), jnp.float32).at[:dim, 0].set(vd_logdiag)
+    )
+    row_mask = (jnp.arange(dim_pad) < dim).astype(jnp.float32)[:, None]
+    betas_row = jnp.asarray(betas, jnp.float32).reshape(1, nbridges)
+
+    clip_t = spec.clip_target if grad_clipping else None
+    clip_q = spec.clip_vd if grad_clipping else None
+
+    layer_ws = [w_t for (w_t, _) in sn_weights["layers"]]
+    layer_bs = [b_col for (_, b_col) in sn_weights["layers"]]
+    head_w, head_b = sn_weights["head"]
+    theta = (
+        jnp.asarray(eps, jnp.float32).reshape(1, 1),
+        jnp.asarray(sn_weights["factor_sn"], jnp.float32).reshape(1, 1),
+        betas_row,
+        mean_col,
+        logdiag_col,
+        sn_weights["emb_t"],
+        head_w,
+        head_b,
+        *layer_ws,
+        *layer_bs,
+    )
+    n_layers = len(layer_ws)
+
+    def eps_at(eps0, fj):
+        if eps_schedule == "cos_sq":
+            phase = fj / nbridges
+            return eps0 * jnp.cos((phase + 0.008) / 1.008 * 0.5 * jnp.pi) ** 2
+        if eps_schedule == "linear":
+            return (1e-4 - eps0) / (nbridges - 1) * fj + eps0
+        return eps0
+
+    log_2pi = 1.8378770664093453
+
+    def point_fn(theta, z_prev, z, z_next, j, c_row):
+        """Loss contribution of trajectory point z_j. All z_* are data;
+        only theta carries gradients. The target score at z_j has no theta
+        dependence, so autodiff skips its transpose entirely."""
+        (eps_arr, factor_arr, betas_r, mean_c, logdiag_c, emb_t,
+         head_w, head_b) = theta[:8]
+        ws = theta[8 : 8 + n_layers]
+        bs = theta[8 + n_layers : 8 + 2 * n_layers]
+        eps0 = eps_arr[0, 0]
+        factor = factor_arr[0, 0]
+
+        fj = j.astype(jnp.float32)
+        lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, nbridges), 1)
+        onehot_j = (lane_idx == j).astype(jnp.float32)
+        onehot_p = (lane_idx == j - 1).astype(jnp.float32)
+        beta_j = jnp.sum(betas_r * onehot_j)
+        beta_p = jnp.sum(betas_r * onehot_p)
+
+        # ONE net application at (z_j, clamp(j)).
+        emb_onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (sn_nbridges, 1), 0)
+            == jnp.clip(j, 0, sn_nbridges - 1)
+        ).astype(jnp.float32)
+        emb_col = jnp.dot(emb_t, emb_onehot, preferred_element_type=jnp.float32)
+        h = jnp.concatenate(
+            [z[:dim], jnp.broadcast_to(emb_col, (emb_dim, z.shape[1]))],
+            axis=0,
+        )
+        if in_dim > dim + emb_dim:
+            h = jnp.concatenate(
+                [h, jnp.zeros((in_dim - dim - emb_dim, z.shape[1]), z.dtype)],
+                axis=0,
+            )
+        for w_t, b_col in zip(ws, bs):
+            h = h + jax.nn.softplus(
+                jnp.dot(w_t, h, preferred_element_type=jnp.float32) + b_col
+            )
+        sn_out = (
+            jnp.dot(head_w, h, preferred_element_type=jnp.float32) + head_b
+        ) * factor
+
+        gt = grad_logp_t(z)
+        gq = -(z - mean_c) * jnp.exp(-2.0 * logdiag_c)
+        gt_c = jnp.clip(gt, -clip_t, clip_t) if clip_t is not None else gt
+        gq_c = jnp.clip(gq, -clip_q, clip_q) if clip_q is not None else gq
+
+        def drift(beta):
+            return (beta * gt_c + (1.0 - beta) * gq_c) * row_mask
+
+        # Forward kernel of step j, evaluated at the stored z_{j+1}.
+        eps_j = eps_at(eps0, fj)
+        # Floor: masked out-of-range steps can land on s2 <= 0 (cos_sq
+        # hits ~0 at j = K; linear extrapolates negative) — 0 * inf = NaN
+        # would poison the masked gradient. Live steps have eps >= 1e-7.
+        s2_j = jnp.maximum(2.0 * eps_j, 1e-30)
+        fk_mean = z + eps_j * drift(beta_j) - eps_j * sn_out
+        r_fk = (z_next - fk_mean) * row_mask
+        fk_lp = (
+            -0.5 * jnp.sum(r_fk * r_fk, axis=0, keepdims=True) / s2_j
+            - 0.5 * dim * (jnp.log(s2_j) + log_2pi)
+        )
+
+        # Backward kernel of step j-1: mean at z_j, evaluated at z_{j-1}.
+        eps_p = eps_at(eps0, fj - 1.0)
+        s2_p = jnp.maximum(2.0 * eps_p, 1e-30)
+        bk_mean = z + eps_p * drift(beta_p) + eps_p * sn_out
+        r_bk = (z_prev - bk_mean) * row_mask
+        bk_lp = (
+            -0.5 * jnp.sum(r_bk * r_bk, axis=0, keepdims=True) / s2_p
+            - 0.5 * dim * (jnp.log(s2_p) + log_2pi)
+        )
+
+        # j can overshoot nbridges when the window grid over-covers K+1
+        # points; both terms mask to zero there.
+        m_fk = (j <= nbridges - 1).astype(jnp.float32)
+        m_bk = jnp.logical_and(j >= 1, j <= nbridges).astype(jnp.float32)
+        return jnp.sum(c_row * (m_bk * bk_lp - m_fk * fk_lp))
+
+    grad_fn = jax.grad(point_fn, argnums=0)
+
+    example_theta = tuple(jax.ShapeDtypeStruct(t.shape, t.dtype) for t in theta)
+    zb = jax.ShapeDtypeStruct((dim_pad, block), jnp.float32)
+    example = (
+        example_theta,
+        zb,  # z_prev
+        zb,  # z
+        zb,  # z_next
+        jax.ShapeDtypeStruct((), jnp.int32),  # j
+        jax.ShapeDtypeStruct((1, block), jnp.float32),  # c_row
+    )
+    point_jaxpr = jax.make_jaxpr(grad_fn)(*example)
+    point_consts = point_jaxpr.consts
+
+    def pack_consts(raw):
+        shapes, arrays = [], []
+        for c in raw:
+            c = jnp.asarray(c, jnp.float32 if c.dtype == jnp.float64 else c.dtype)
+            if c.ndim == 0:
+                c = c.reshape(1, 1)
+                shapes.append(("scalar", c.shape))
+            elif c.ndim == 1:
+                c = c.reshape(1, -1)
+                shapes.append(("vec", c.shape))
+            else:
+                shapes.append(("arr", c.shape))
+            arrays.append(c)
+        return shapes, arrays
+
+    const_shapes, const_inputs = pack_consts(point_consts)
+    n_theta = len(theta)
+
+    # Window tiling: program (w, c) handles trajectory points
+    # j = w*jsz .. w*jsz + jsz - 1 for chain chunk c. Each point needs
+    # (z_{j-1}, z_j, z_{j+1}), so the program reads the three jsz-row windows
+    # w-1, w, w+1 (clamped; over-read rows are masked out in point_fn).
+    npts = nbridges + 1
+    jsz = max(1, min(points_per_program, npts))
+    n_windows = (npts + jsz - 1) // jsz
+
+    def kernel(*refs):
+        idx = 0
+        wm_ref = refs[idx]; idx += 1   # window w-1
+        wc_ref = refs[idx]; idx += 1   # window w
+        wp_ref = refs[idx]; idx += 1   # window w+1
+        c_ref = refs[idx]; idx += 1
+        theta_refs = refs[idx : idx + n_theta]; idx += n_theta
+        const_refs = refs[idx : idx + len(const_inputs)]
+        idx += len(const_inputs)
+        out_refs = refs[idx : idx + n_theta]; idx += n_theta
+
+        w_id = pl.program_id(0)
+        c_id = pl.program_id(1)
+
+        def unpack(shapes, refs_):
+            vals = []
+            for (kind, shape), ref in zip(shapes, refs_):
+                v = ref[:]
+                if kind == "scalar":
+                    v = v[0, 0]
+                elif kind == "vec":
+                    v = v[0]
+                vals.append(v)
+            return vals
+
+        consts = unpack(const_shapes, const_refs)
+        theta_vals = tuple(r[:] for r in theta_refs)
+        c_row = c_ref[0:1, :]
+        # Mosaic lowers dynamic indexing on REFS, not values: neighbors at
+        # the window edges come from the adjacent window refs via selects.
+        zm_last = wm_ref[jsz - 1]
+        zp_first = wp_ref[0]
+
+        def body(t, acc):
+            j = w_id * jsz + t
+            z = wc_ref[t]
+            z_prev = jnp.where(
+                t == 0, zm_last, wc_ref[jnp.maximum(t - 1, 0)]
+            )
+            z_next = jnp.where(
+                t == jsz - 1, zp_first, wc_ref[jnp.minimum(t + 1, jsz - 1)]
+            )
+            # Reads past the stored K+1 points hit Pallas's block padding
+            # (NaN in interpret mode, arbitrary on hardware). The loss masks
+            # those terms to zero, but 0 * NaN = NaN in the GRADIENT — so
+            # zero every input exactly where its term is masked.
+            z = jnp.where(j <= nbridges, z, jnp.zeros_like(z))
+            z_prev = jnp.where(
+                jnp.logical_and(j >= 1, j <= nbridges),
+                z_prev,
+                jnp.zeros_like(z_prev),
+            )
+            z_next = jnp.where(
+                j <= nbridges - 1, z_next, jnp.zeros_like(z_next)
+            )
+            flat_in = list(theta_vals) + [z_prev, z, z_next, j, c_row]
+            g = jax.core.eval_jaxpr(point_jaxpr.jaxpr, consts, *flat_in)
+            return tuple(a + gi for a, gi in zip(acc, g))
+
+        acc0 = tuple(jnp.zeros(t.shape, jnp.float32) for t in theta_vals)
+        acc = jax.lax.fori_loop(0, jsz, body, acc0)
+
+        first = jnp.logical_and(w_id == 0, c_id == 0)
+        for o_ref, g in zip(out_refs, acc):
+            @pl.when(first)
+            def _init(o_ref=o_ref, g=g):
+                o_ref[:] = g
+
+            @pl.when(jnp.logical_not(first))
+            def _acc(o_ref=o_ref, g=g):
+                o_ref[:] = o_ref[:] + g
+
+    wblock = (jsz, dim_pad, block)
+    in_specs = [
+        pl.BlockSpec(
+            wblock,
+            lambda w, c: (jnp.maximum(w - 1, 0), 0, c),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(wblock, lambda w, c: (w, 0, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            wblock,
+            lambda w, c: (jnp.minimum(w + 1, n_windows - 1), 0, c),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((8, block), lambda w, c: (0, c), memory_space=pltpu.VMEM),
+    ]
+    inputs = [traj_t, traj_t, traj_t, cot_rows]
+    for t in theta:
+        in_specs.append(
+            pl.BlockSpec(
+                t.shape, lambda w, c, nd=t.ndim: (0,) * nd,
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(t)
+    for c in const_inputs:
+        in_specs.append(
+            pl.BlockSpec(
+                c.shape, lambda w, ci, nd=c.ndim: (0,) * nd,
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(c)
+
+    out_specs = [
+        pl.BlockSpec(
+            t.shape, lambda w, c, nd=t.ndim: (0,) * nd,
+            memory_space=pltpu.VMEM,
+        )
+        for t in theta
+    ]
+    out_shape = [jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_windows, nchunks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*inputs)
+
+    (g_eps, g_factor, g_betas, g_mean, g_logdiag, g_emb_t, g_head_w,
+     g_head_b) = outs[:8]
+    g_ws = outs[8 : 8 + n_layers]
+    g_bs = outs[8 + n_layers : 8 + 2 * n_layers]
+
+    return {
+        "eps": g_eps[0, 0],
+        "betas": g_betas[0],
+        "vd_mean": g_mean[:dim, 0],
+        "vd_logdiag": g_logdiag[:dim, 0],
+        "sn": {
+            "layers": [
+                {"w": w.T, "b": b[:, 0]} for w, b in zip(g_ws, g_bs)
+            ],
+            "head": {"w": g_head_w[:dim].T, "b": g_head_b[:dim, 0]},
+            "emb": g_emb_t.T,
+            "factor_sn": g_factor[0, 0],
+        },
+    }
 
 
 def evolve_vargrad_bwd_pallas(
@@ -214,7 +593,10 @@ def evolve_vargrad_bwd_pallas(
 
         # Forward kernel of step j: z_j -> z_{j+1}.
         eps_j = eps_at(eps0, fj)
-        s2_j = 2.0 * eps_j
+        # Floor: masked out-of-range steps can land on s2 <= 0 (cos_sq
+        # hits ~0 at j = K; linear extrapolates negative) — 0 * inf = NaN
+        # would poison the masked gradient. Live steps have eps >= 1e-7.
+        s2_j = jnp.maximum(2.0 * eps_j, 1e-30)
         fk_mean = z + eps_j * drift(beta_j) - eps_j * sn_out
         # Stop the WHOLE next state (mean AND noise scaling): the reference
         # stop-gradients z_new after forming it (src/mcd_cais_var.py:79), so
@@ -228,7 +610,7 @@ def evolve_vargrad_bwd_pallas(
 
         # Backward kernel of step j-1: mean at z_j, evaluated at z_{j-1}.
         eps_p = eps_at(eps0, fj - 1.0)
-        s2_p = 2.0 * eps_p
+        s2_p = jnp.maximum(2.0 * eps_p, 1e-30)
         bk_mean = z + eps_p * drift(beta_p) + eps_p * sn_out
         r_bk = (z_prev - bk_mean) * row_mask
         bk_lp = (

@@ -52,9 +52,15 @@ def scan_loss_fn(params, ctx, key, n, noise):
 
 
 @pytest.mark.parametrize(
-    "target_name,eps_schedule", [("many_gmm", ""), ("funnel", "cos_sq")]
+    "target_name,eps_schedule,backward",
+    [
+        ("many_gmm", "", "replay"),
+        ("many_gmm", "", "reroll"),
+        ("funnel", "cos_sq", "replay"),
+        ("funnel", "cos_sq", "reroll"),
+    ],
 )
-def test_pallas_train_grad_matches_scan(target_name, eps_schedule):
+def test_pallas_train_grad_matches_scan(target_name, eps_schedule, backward):
     n, nb = 128, 6
     target, setup, params, ctx, key, noise = make_case(
         target_name, nb, n, eps_schedule=eps_schedule
@@ -63,7 +69,7 @@ def test_pallas_train_grad_matches_scan(target_name, eps_schedule):
     def pallas_loss(train):
         return var_bound_pallas(
             {"train": train, "notrain": params["notrain"]}, key, n, ctx, setup,
-            target, block=128, noise=noise, interpret=True,
+            target, block=128, noise=noise, interpret=True, backward=backward,
         )[0]
 
     l1, g1 = jax.value_and_grad(scan_loss_fn(params, ctx, key, n, noise))(
@@ -75,6 +81,48 @@ def test_pallas_train_grad_matches_scan(target_name, eps_schedule):
     f2, _ = jax.flatten_util.ravel_pytree(g2)
     scale = float(jnp.linalg.norm(f1))
     assert float(jnp.linalg.norm(f1 - f2)) < 1e-4 * scale + 1e-4
+
+
+def test_replay_windowed_matches_single_point():
+    """points_per_program > 1 (window tiling with clamped edge reads) must
+    give the identical gradient as one point per program."""
+    from cmcd_tpu.ops.fused import _dim_pad
+    from cmcd_tpu.ops.pallas_overdamped import (
+        evolve_overdamped_pallas,
+        pack_geffner_t,
+    )
+    from cmcd_tpu.ops.pallas_vargrad import evolve_vargrad_bwd_replay
+    from cmcd_tpu.ops.target_grads import grad_t_for_target
+
+    n, nb = 128, 13  # nb + 1 = 14 points: NOT a multiple of the window size
+    target, setup, params, ctx, key, noise = make_case("many_gmm", nb, n)
+    p = bounds.merged_params(params)
+    dim = setup.dim
+    dim_pad = _dim_pad(dim)
+    grad_t = grad_t_for_target(target, dim_pad)
+    betas = betas_from_grid(p["mgridref_y"], p["gridref_x"], p["target_x"])
+    z0 = diag_gaussian_sample(jax.random.PRNGKey(5), p["vd"], n)
+    cot = jax.random.normal(jax.random.PRNGKey(6), (n,))
+    sn_w, sn_meta = pack_geffner_t(p["sn"], dim, dim_pad)
+    _, _, traj = evolve_overdamped_pallas(
+        z0, jnp.zeros(n), betas, p["eps"], p["vd"]["mean"], p["vd"]["logdiag"],
+        grad_t, od.CAIS_VAR, dim=dim, nbridges=nb, sn_weights=sn_w,
+        sn_meta=sn_meta, grad_clipping=True, block=128, noise=noise,
+        return_trajectory_t=True, interpret=True,
+    )
+
+    def run(jsz):
+        return evolve_vargrad_bwd_replay(
+            traj, cot, betas, p["eps"], p["vd"]["mean"], p["vd"]["logdiag"],
+            grad_t, od.CAIS_VAR, dim=dim, nbridges=nb, n_chains=n,
+            sn_weights=sn_w, sn_meta=sn_meta, grad_clipping=True, block=128,
+            points_per_program=jsz, interpret=True,
+        )
+
+    f1 = jax.flatten_util.ravel_pytree(run(1))[0]
+    f4 = jax.flatten_util.ravel_pytree(run(4))[0]
+    onp.testing.assert_allclose(onp.asarray(f1), onp.asarray(f4), rtol=2e-5,
+                                atol=1e-6)
 
 
 def test_pallas_train_neg_elbos_match_scan():
