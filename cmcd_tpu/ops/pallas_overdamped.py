@@ -563,10 +563,12 @@ def evolve_overdamped_pallas(
         # kernel and the replay backward kernel, and (b) large-dim targets
         # (LGCP: ~40 MB of score-net weights + a 10 MB precision matrix)
         # run fused at all.
-        need = sum(int(x.size) * x.dtype.itemsize for x in inputs)
-        need += sum(
-            4 * int(jnp.prod(jnp.asarray(s.shape))) for s in out_shape
+        import math
+
+        need = sum(
+            math.prod(x.shape) * x.dtype.itemsize for x in inputs
         )
+        need += sum(4 * math.prod(s.shape) for s in out_shape)
         need += 10 * dim_pad * block * 4  # step temporaries headroom
         if need > 14 * 1024 * 1024:
             # 2x: weight/constant VALUES loaded in the kernel body live in

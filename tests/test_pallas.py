@@ -306,3 +306,47 @@ def test_trajectory_replay_with_eps_schedule():
     f2, _ = jax.flatten_util.ravel_pytree(g2)
     scale = float(jnp.linalg.norm(f1))
     assert float(jnp.linalg.norm(f1 - f2)) < 1e-4 * scale + 1e-4
+
+
+def test_lgcp_fused_eval_matches_scan_interpret():
+    """The 1600-D LGCP runs on the fused kernel (weights live in VMEM via
+    the raised scoped limit); neg-ELBOs must match the scan path under
+    injected noise. Hardware check recorded in RESULTS.md (rel 8e-5, ~10%
+    faster than scan at K=8)."""
+    import cmcd_tpu
+    from cmcd_tpu import bounds
+    from cmcd_tpu.distributions import (
+        diag_gaussian_log_prob,
+        diag_gaussian_sample,
+    )
+    from cmcd_tpu.integrators import overdamped as od
+    from cmcd_tpu.ops import compute_elbos_fused, supports_fused
+    from cmcd_tpu.schedules import betas_from_grid
+
+    target = cmcd_tpu.load_target("lgcp")
+    setup = bounds.CMCDSetup(
+        mode="MCD_CAIS_sn", dim=target.dim, nbridges=3, emb_dim=20
+    )
+    assert supports_fused(setup, target)
+    params, ctx = bounds.initialize(
+        setup, target.log_prob, eps=0.0001, init_sigma=1.0,
+        trainable=bounds.default_trainable(setup.mode),
+    )
+    n = 64
+    key = jax.random.PRNGKey(0)
+    noise = jax.random.normal(jax.random.PRNGKey(2), (3, n, target.dim))
+    ne_f, zf = compute_elbos_fused(
+        params, key, n, setup, target, noise=noise, interpret=True
+    )
+    p = bounds.merged_params(params)
+    z_key, evolve_key = jax.random.split(key)
+    z0 = diag_gaussian_sample(z_key, p["vd"], n)
+    w = -diag_gaussian_log_prob(p["vd"], z0)
+    betas = betas_from_grid(p["mgridref_y"], p["gridref_x"], p["target_x"])
+    zs, wd, _ = od.evolve_overdamped(
+        evolve_key, z0, betas, p, ctx, od.CAIS, noise=noise
+    )
+    ne_s = -(w + wd + ctx.target_log_prob(zs))
+    onp.testing.assert_allclose(
+        onp.asarray(ne_f), onp.asarray(ne_s), rtol=2e-4, atol=0.2
+    )
