@@ -148,6 +148,52 @@ def bench_train(n, nbridges, iters, repeats, use_pallas, steps_per_call=1):
     return t / steps_per_call, [g / steps_per_call for g in groups]
 
 
+def bench_kl_train(n, nbridges, iters, repeats, use_pallas, steps_per_call=1):
+    """Per-step time of KL (mean neg-ELBO, full BPTT) training on
+    MCD_CAIS_sn — the mode most reference recipes use. The fused path runs
+    the reverse-sweep BPTT kernel (ops/pallas_kl.py)."""
+    import cmcd_tpu
+    from cmcd_tpu.utils import const_hoisted_jit
+
+    target = cmcd_tpu.load_target("many_gmm")
+    setup = cmcd_tpu.CMCDSetup(
+        mode="MCD_CAIS_sn",
+        dim=target.dim,
+        nbridges=nbridges,
+        emb_dim=48,
+        grad_clipping=True,
+    )
+    trainable = cmcd_tpu.default_trainable(setup.mode, train_eps=False, train_vi=False)
+    params, ctx = cmcd_tpu.initialize(
+        setup, target.log_prob, eps=0.65, init_sigma=15.0, trainable=trainable
+    )
+    if use_pallas:
+        from cmcd_tpu.ops.fused_train import kl_bound_pallas
+
+        loss_builder = lambda p, k: kl_bound_pallas(p, k, n, ctx, setup, target)
+    else:
+        loss_builder = lambda p, k: cmcd_tpu.kl_bound(p, k, n, ctx, setup)
+
+    train_step, opt = _train_step_factory(loss_builder, trainable)
+    if steps_per_call > 1:
+        inner = train_step
+
+        def train_step(state):
+            return jax.lax.scan(
+                lambda s, _: (inner(s), None), state, None, length=steps_per_call
+            )[0]
+
+    state = (
+        params["train"],
+        params["notrain"],
+        opt.init(params["train"]),
+        jax.random.PRNGKey(0),
+    )
+    step = const_hoisted_jit(train_step, state)
+    t, groups = time_steps(step, state, iters, repeats)
+    return t / steps_per_call, [g / steps_per_call for g in groups]
+
+
 def bench_reference_style(n, nbridges, iters, repeats):
     import cmcd_tpu
     from cmcd_tpu.networks.geffner import build_geffner_network
@@ -273,6 +319,15 @@ def main():
         t_eval, eval_groups = bench_fused_eval(n, nbridges, iters, repeats)
     except Exception:
         t_eval, eval_groups = None, []
+    # KL/BPTT training (MCD_CAIS_sn): fused reverse-sweep kernel vs XLA scan.
+    try:
+        t_kl, _ = bench_kl_train(
+            n, nbridges, max(iters // chunk, 3), repeats, True,
+            steps_per_call=chunk,
+        )
+        t_kl_scan, _ = bench_kl_train(n, nbridges, max(iters // 2, 5), repeats, False)
+    except Exception:
+        t_kl = t_kl_scan = None
 
     chain_steps = n * nbridges
     native_tput = chain_steps / t_native
@@ -296,6 +351,12 @@ def main():
                     "xla_scan_step_ms": round(t_scan * 1e3, 3),
                     "reference_style_step_ms": round(t_ref * 1e3, 3),
                     "reference_style_group_means_ms": r(ref_groups),
+                    "kl_pallas_train_step_ms": (
+                        round(t_kl * 1e3, 3) if t_kl else None
+                    ),
+                    "kl_xla_scan_train_step_ms": (
+                        round(t_kl_scan * 1e3, 3) if t_kl_scan else None
+                    ),
                     "fused_pallas_eval_ms": (
                         round(t_eval * 1e3, 3) if t_eval else None
                     ),

@@ -129,23 +129,37 @@ def run_experiment(config, logger: MetricLogger | None = None):
         from cmcd_tpu.ops import supports_fused_train
 
         if supports_fused_train(setup, target):
-            if mesh is not None:
-                from cmcd_tpu import parallel
+            if mode == "MCD_CAIS_var_sn":
+                if mesh is not None:
+                    from cmcd_tpu import parallel
 
-                train_loss_fn = lambda p, k, n, c, s: (
-                    parallel.sharded_var_bound_pallas(
-                        p, k, n, c, s, target, mesh=mesh
+                    train_loss_fn = lambda p, k, n, c, s: (
+                        parallel.sharded_var_bound_pallas(
+                            p, k, n, c, s, target, mesh=mesh
+                        )
                     )
-                )
-                print("Using SHARDED fused Pallas training path.")
-            else:
-                from cmcd_tpu.ops.fused_train import var_bound_pallas
+                    print("Using SHARDED fused Pallas training path.")
+                else:
+                    from cmcd_tpu.ops.fused_train import var_bound_pallas
 
-                train_loss_fn = lambda p, k, n, c, s: var_bound_pallas(
+                    train_loss_fn = lambda p, k, n, c, s: var_bound_pallas(
+                        p, k, n, c, s, target
+                    )
+                    print(
+                        "Using fused Pallas training path "
+                        "(forward + backward kernels)."
+                    )
+            elif mesh is None:
+                # KL modes: fused forward + reverse-sweep BPTT backward.
+                # (With a mesh the sharded scan loss set above stays.)
+                from cmcd_tpu.ops.fused_train import kl_bound_pallas
+
+                train_loss_fn = lambda p, k, n, c, s: kl_bound_pallas(
                     p, k, n, c, s, target
                 )
                 print(
-                    "Using fused Pallas training path (forward + backward kernels)."
+                    "Using fused Pallas KL training path "
+                    "(BPTT reverse-sweep kernel)."
                 )
     if eval_elbo_fn is None and mesh is not None:
         from cmcd_tpu import parallel

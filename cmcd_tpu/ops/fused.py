@@ -120,10 +120,17 @@ def default_block(dim: int) -> int:
 
 
 def supports_fused_train(setup: bounds.CMCDSetup, target) -> bool:
-    """True if the fully-fused VarGrad training loss
-    (ops/fused_train.var_bound_pallas) can run: CAIS_VAR mode, geffner net,
-    a registered transposed target score, and VMEM headroom."""
-    if setup.mode != "MCD_CAIS_var_sn" or setup.nn_arch != "geffner":
+    """True if a fully-fused Pallas training loss can run: the VarGrad mode
+    (ops/fused_train.var_bound_pallas, batched-replay backward) or an
+    overdamped KL mode (ops/fused_train.kl_bound_pallas, reverse-sweep BPTT
+    backward), with a geffner net where the mode uses one, a registered
+    transposed target score, and VMEM headroom."""
+    from cmcd_tpu.ops.fused_train import KL_FUSED_MODES
+
+    if setup.mode != "MCD_CAIS_var_sn" and setup.mode not in KL_FUSED_MODES:
+        return False
+    uses_net = setup.mode != "MCD_ULA"
+    if uses_net and setup.nn_arch != "geffner":
         return False
     if grad_t_for_target(target, _dim_pad(setup.dim)) is None:
         return False

@@ -228,6 +228,177 @@ def neg_elbos_pallas(
     return -w, z_final
 
 
+def _make_evolve_kl(setup, target, n_chains, block, interpret, spec):
+    """custom_vjp'd (theta, z0, seed, noise) -> (deltas, z_final) for the
+    KL-trained overdamped modes (full BPTT — no stop-gradients).
+
+    Unlike the VarGrad evolve, z0 and z_final carry REAL cotangents: the
+    backward is the reverse-sweep kernel (ops/pallas_kl.py) seeded with the
+    final-state cotangent (the target term's gradient, computed by XLA) and
+    emitting the initial-state cotangent for the reparameterized draw.
+    Residuals: the stored trajectory + noise draws."""
+    from cmcd_tpu.ops.pallas_kl import evolve_kl_bwd_pallas
+
+    dim = setup.dim
+    dim_pad = _dim_pad(dim)
+    grad_t = grad_t_for_target(target, dim_pad)
+    use_sn = spec.fwd_sn or spec.bwd_sn
+
+    def _pack(theta):
+        if use_sn:
+            return pack_geffner_t(theta["sn"], dim, dim_pad)
+        return None, None
+
+    def _run_forward(theta, z0, seed, noise):
+        sn_weights, sn_meta = _pack(theta)
+        inject = noise is not None
+        out = evolve_overdamped_pallas(
+            z0,
+            jnp.zeros(n_chains),
+            theta["betas"],
+            theta["eps"],
+            theta["vd_mean"],
+            theta["vd_logdiag"],
+            grad_t,
+            spec,
+            dim=dim,
+            nbridges=setup.nbridges,
+            sn_weights=sn_weights,
+            sn_meta=sn_meta,
+            eps_schedule=setup.eps_schedule,
+            grad_clipping=setup.grad_clipping,
+            seed=seed,
+            block=block,
+            noise=noise,
+            return_trajectory_t=True,
+            return_noise_t=not inject,
+            interpret=interpret,
+        )
+        if inject:
+            z_final, deltas, traj_t = out
+            n_pad = traj_t.shape[2]
+            noise_t = (
+                jnp.zeros(
+                    (setup.nbridges, dim_pad, n_pad), jnp.float32
+                )
+                .at[:, :dim, :n_chains]
+                .set(jnp.swapaxes(noise, 1, 2))
+            )
+        else:
+            z_final, deltas, traj_t, noise_t = out
+        return deltas, z_final, traj_t, noise_t
+
+    @jax.custom_vjp
+    def evolve(theta, z0, seed, noise):
+        deltas, z_final, _, _ = _run_forward(theta, z0, seed, noise)
+        return deltas, z_final
+
+    def evolve_fwd(theta, z0, seed, noise):
+        deltas, z_final, traj_t, noise_t = _run_forward(theta, z0, seed, noise)
+        return (deltas, z_final), (theta, traj_t, noise_t, noise)
+
+    def evolve_bwd(res, cots):
+        theta, traj_t, noise_t, noise = res
+        g_deltas, g_zfinal = cots  # BOTH live for KL
+        sn_weights, sn_meta = _pack(theta)
+        grads, g_z0 = evolve_kl_bwd_pallas(
+            traj_t,
+            noise_t,
+            g_deltas,
+            g_zfinal,
+            theta["betas"],
+            theta["eps"],
+            theta["vd_mean"],
+            theta["vd_logdiag"],
+            grad_t,
+            spec,
+            dim=dim,
+            nbridges=setup.nbridges,
+            n_chains=n_chains,
+            sn_weights=sn_weights,
+            sn_meta=sn_meta,
+            eps_schedule=setup.eps_schedule,
+            grad_clipping=setup.grad_clipping,
+            block=block,
+            interpret=interpret,
+        )
+        g_theta = {
+            "eps": grads["eps"].astype(theta["eps"].dtype).reshape(theta["eps"].shape),
+            "betas": grads["betas"],
+            "vd_mean": grads["vd_mean"],
+            "vd_logdiag": grads["vd_logdiag"],
+        }
+        if use_sn:
+            g_theta["sn"] = grads["sn"]
+            g_theta["sn"]["factor_sn"] = jnp.reshape(
+                g_theta["sn"]["factor_sn"], theta["sn"]["factor_sn"].shape
+            )
+        g_noise = None if noise is None else jnp.zeros_like(noise)
+        return g_theta, g_z0, None, g_noise
+
+    evolve.defvjp(evolve_fwd, evolve_bwd)
+    return evolve
+
+
+def kl_bound_pallas(
+    params,
+    key,
+    n_chains: int,
+    ctx,
+    setup: bounds.CMCDSetup,
+    target,
+    *,
+    block: int | None = None,
+    noise=None,
+    interpret: bool = False,
+):
+    """KL training loss (mean negative ELBO) with fused Pallas forward AND
+    reverse-sweep BPTT backward. Same contract as bounds.kl_bound
+    (loss, (neg_elbos, z)) plus the target argument.
+
+    Supported: the overdamped KL modes (MCD_ULA, MCD_ULA_sn, MCD_CAIS_sn).
+    """
+    from cmcd_tpu.ops.fused import _PALLAS_SPECS
+
+    assert setup.mode in KL_FUSED_MODES, (
+        f"fused KL training implements {sorted(KL_FUSED_MODES)}, "
+        f"not {setup.mode}"
+    )
+    spec = _PALLAS_SPECS[setup.mode]
+    p = bounds.merged_params(params)
+    dim = setup.dim
+    if block is None:
+        block = default_block(dim)
+
+    z_key, e_key = jax.random.split(key)
+    base = jax.random.normal(z_key, (n_chains, dim))
+    mean, logdiag = p["vd"]["mean"], p["vd"]["logdiag"]
+    z0 = mean + jnp.exp(logdiag) * base
+    w0 = -diag_gaussian_log_prob(p["vd"], z0)
+
+    betas = betas_from_grid(p["mgridref_y"], p["gridref_x"], p["target_x"])
+    seed = jax.random.randint(e_key, (), 0, jnp.iinfo(jnp.int32).max)
+
+    theta = {
+        "eps": p["eps"],
+        "betas": betas,
+        "vd_mean": mean,
+        "vd_logdiag": logdiag,
+    }
+    if spec.fwd_sn or spec.bwd_sn:
+        theta["sn"] = p["sn"]
+    evolve = _make_evolve_kl(setup, target, n_chains, block, interpret, spec)
+    # z0 is DIFFERENTIABLE through evolve here (BPTT), unlike VarGrad.
+    deltas, z_final = evolve(theta, z0, seed, noise)
+
+    w = w0 + deltas + ctx.target_log_prob(z_final)
+    neg_elbos = -w
+    return jnp.mean(neg_elbos), (neg_elbos, z_final)
+
+
+KL_FUSED_MODES = frozenset({"MCD_ULA", "MCD_ULA_sn", "MCD_CAIS_sn"})
+
+
 def var_bound_pallas(
     params,
     key,

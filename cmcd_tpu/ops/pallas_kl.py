@@ -1,0 +1,401 @@
+"""Fused Pallas BPTT backward for the KL-trained overdamped modes.
+
+The KL loss (mean negative ELBO, reference src/boundingmachine.py:183-205)
+differentiates through the WHOLE rollout — unlike VarGrad there are no
+stop-gradients, so the gradient needs true backprop-through-time: the state
+cotangent dL/dz_j chains backward through every bridge step, including the
+target-score Jacobian (an HVP of log pi) and the score-net Jacobian.
+
+The XLA scan path autodiffs this at ~16 ms/step on the flagship size. This
+kernel runs the reverse sweep on-core instead:
+
+- residuals: the forward kernel's stored trajectory z_0..z_K and noise
+  draws xi_0..xi_{K-1}, both in the raw transposed layout
+  (ops/pallas_overdamped.py return_trajectory_t / return_noise_t).
+- per chain-block program: carry g_z = dL/dz_{j+1} (initialized from the
+  cotangent of the final state, i.e. the target-term gradient computed by
+  XLA outside), loop j = K-1 .. 0 evaluating the VJP of the exact step
+  math; accumulate parameter gradients in VMEM; emit dL/dz_0 so XLA can
+  continue the chain through the reparameterized initial draw.
+- the per-step VJP comes from jax.vjp of the step function at TRACE time —
+  eps schedules, clipping masks, beta selection, net and target Jacobians
+  all from autodiff of the same formulas the scan integrator uses
+  (integrators/overdamped.py), closure-converted into kernel inputs.
+
+Exactness is tested against jax.grad of the scan kl_bound under injected
+noise (tests/test_pallas_kl.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cmcd_tpu.integrators.overdamped import OverdampedSpec
+from cmcd_tpu.ops.pallas_overdamped import LANE, _round_up
+
+
+def evolve_kl_bwd_pallas(
+    traj_t,
+    noise_t,
+    cot,
+    g_zfinal,
+    betas,
+    eps,
+    vd_mean,
+    vd_logdiag,
+    grad_logp_t: Callable,
+    spec: OverdampedSpec,
+    *,
+    dim: int,
+    nbridges: int,
+    n_chains: int,
+    sn_weights,
+    sn_meta,
+    eps_schedule: str = "",
+    grad_clipping: bool = False,
+    block: int = 1024,
+    interpret: bool = False,
+):
+    """Reverse-sweep BPTT gradients from stored (trajectory, noise).
+
+    traj_t: (nbridges + 1, dim_pad, n_pad); noise_t: (nbridges, dim_pad,
+    n_pad) — raw transposed outputs of the forward kernel.
+    cot: (n_chains,) cotangent of the per-chain summed log-weight deltas.
+    g_zfinal: (n_chains, dim) cotangent of the final state (the target
+    log-prob term's gradient, computed by XLA outside the kernel).
+
+    Returns (grads dict like evolve_vargrad_bwd_replay, g_z0 (n_chains,
+    dim) — the initial-state cotangent for the reparameterized draw).
+    """
+    n_traj, dim_pad, n_pad = traj_t.shape
+    assert n_traj == nbridges + 1
+    assert noise_t.shape == (nbridges, dim_pad, n_pad)
+    block = _round_up(block, LANE)
+    if n_pad % block != 0:
+        block = next(
+            b for b in range(min(block, n_pad), 0, -LANE) if n_pad % b == 0
+        )
+    nchunks = n_pad // block
+
+    use_sn = spec.fwd_sn or spec.bwd_sn
+    if use_sn:
+        emb_dim = sn_meta["emb_dim"]
+        in_dim = sn_meta["in_dim"]
+        sn_nbridges = sn_meta["nbridges"]
+
+    cot_rows = jnp.zeros((8, n_pad), jnp.float32).at[0, :n_chains].set(cot)
+    gzf_t = (
+        jnp.zeros((dim_pad, n_pad), jnp.float32).at[:dim, :n_chains].set(
+            g_zfinal.T
+        )
+    )
+    mean_col = jnp.zeros((dim_pad, 1), jnp.float32).at[:dim, 0].set(vd_mean)
+    logdiag_col = (
+        jnp.zeros((dim_pad, 1), jnp.float32).at[:dim, 0].set(vd_logdiag)
+    )
+    row_mask = (jnp.arange(dim_pad) < dim).astype(jnp.float32)[:, None]
+    betas_row = jnp.asarray(betas, jnp.float32).reshape(1, nbridges)
+
+    clip_t = spec.clip_target if grad_clipping else None
+    clip_q = spec.clip_vd if grad_clipping else None
+
+    if use_sn:
+        layer_ws = [w_t for (w_t, _) in sn_weights["layers"]]
+        layer_bs = [b_col for (_, b_col) in sn_weights["layers"]]
+        head_w, head_b = sn_weights["head"]
+        factor = sn_weights["factor_sn"]
+        sn_theta = (
+            jnp.asarray(factor, jnp.float32).reshape(1, 1),
+            sn_weights["emb_t"],
+            head_w,
+            head_b,
+            *layer_ws,
+            *layer_bs,
+        )
+        n_layers = len(layer_ws)
+    else:
+        sn_theta = ()
+        n_layers = 0
+
+    theta = (
+        jnp.asarray(eps, jnp.float32).reshape(1, 1),
+        betas_row,
+        mean_col,
+        logdiag_col,
+        *sn_theta,
+    )
+    n_theta = len(theta)
+
+    def eps_at(eps0, fj):
+        if eps_schedule == "cos_sq":
+            phase = fj / nbridges
+            return eps0 * jnp.cos((phase + 0.008) / 1.008 * 0.5 * jnp.pi) ** 2
+        if eps_schedule == "linear":
+            return (1e-4 - eps0) / (nbridges - 1) * fj + eps0
+        return eps0
+
+    log_2pi = 1.8378770664093453
+
+    def sn_apply(th, z, i):
+        factor_arr, emb_t, head_w, head_b = th[:4]
+        ws = th[4 : 4 + n_layers]
+        bs = th[4 + n_layers : 4 + 2 * n_layers]
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (sn_nbridges, 1), 0)
+            == jnp.clip(i, 0, sn_nbridges - 1)
+        ).astype(jnp.float32)
+        emb_col = jnp.dot(emb_t, onehot, preferred_element_type=jnp.float32)
+        h = jnp.concatenate(
+            [z[:dim], jnp.broadcast_to(emb_col, (emb_dim, z.shape[1]))],
+            axis=0,
+        )
+        if in_dim > dim + emb_dim:
+            h = jnp.concatenate(
+                [h, jnp.zeros((in_dim - dim - emb_dim, z.shape[1]), z.dtype)],
+                axis=0,
+            )
+        for w_t, b_col in zip(ws, bs):
+            h = h + jax.nn.softplus(
+                jnp.dot(w_t, h, preferred_element_type=jnp.float32) + b_col
+            )
+        return (
+            jnp.dot(head_w, h, preferred_element_type=jnp.float32) + head_b
+        ) * factor_arr[0, 0]
+
+    def step_fn(theta, z, xi, j):
+        """(z_next, delta) for bridge step j — the scan integrator's exact
+        math (integrators/overdamped.py step), fully differentiable in
+        (theta, z)."""
+        eps_arr, betas_r, mean_c, logdiag_c = theta[:4]
+        th_sn = theta[4:]
+        eps0 = eps_arr[0, 0]
+
+        fj = j.astype(jnp.float32)
+        lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, nbridges), 1)
+        beta = jnp.sum(betas_r * (lane_idx == j).astype(jnp.float32))
+
+        eps_j = eps_at(eps0, fj)
+        s2 = 2.0 * eps_j
+        scale = jnp.sqrt(s2)
+
+        def grad_u(zz):
+            if spec.zero_drift:
+                return jnp.zeros_like(zz)
+            gt = grad_logp_t(zz)
+            gq = -(zz - mean_c) * jnp.exp(-2.0 * logdiag_c)
+            if clip_t is not None:
+                gt = jnp.clip(gt, -clip_t, clip_t)
+            if clip_q is not None:
+                gq = jnp.clip(gq, -clip_q, clip_q)
+            return -(beta * gt + (1.0 - beta) * gq) * row_mask
+
+        fk_mean = z - eps_j * grad_u(z)
+        if spec.fwd_sn:
+            fk_mean = fk_mean - eps_j * sn_apply(th_sn, z, j)
+        z_next = fk_mean + scale * xi
+
+        bk_mean = z_next - eps_j * grad_u(z_next)
+        if spec.bwd_sn:
+            bk_mean = bk_mean + eps_j * sn_apply(
+                th_sn, z_next, j + spec.bwd_sn_offset
+            )
+
+        r_fk = (z_next - fk_mean) * row_mask
+        r_bk = (z - bk_mean) * row_mask
+        fk_lp = (
+            -0.5 * jnp.sum(r_fk * r_fk, axis=0, keepdims=True) / s2
+            - 0.5 * dim * (jnp.log(s2) + log_2pi)
+        )
+        bk_lp = (
+            -0.5 * jnp.sum(r_bk * r_bk, axis=0, keepdims=True) / s2
+            - 0.5 * dim * (jnp.log(s2) + log_2pi)
+        )
+        return z_next, bk_lp - fk_lp
+
+    def point_fn(theta, z, xi, j, g_next, c_row):
+        """One reverse step: VJP of step_fn at (theta, z) with cotangents
+        (g_next for z_next, c_row for delta). Returns theta cotangents and
+        the propagated state cotangent dL/dz_j."""
+        _, vjp_fn = jax.vjp(lambda th, zz: step_fn(th, zz, xi, j), theta, z)
+        g_theta, g_z = vjp_fn((g_next, c_row))
+        return (*g_theta, g_z)
+
+    zb = jax.ShapeDtypeStruct((dim_pad, block), jnp.float32)
+    example = (
+        tuple(jax.ShapeDtypeStruct(t.shape, t.dtype) for t in theta),
+        zb,  # z
+        zb,  # xi
+        jax.ShapeDtypeStruct((), jnp.int32),  # j
+        zb,  # g_next
+        jax.ShapeDtypeStruct((1, block), jnp.float32),  # c_row
+    )
+    point_jaxpr = jax.make_jaxpr(point_fn)(*example)
+    point_consts = point_jaxpr.consts
+
+    def pack_consts(raw):
+        shapes, arrays = [], []
+        for c in raw:
+            c = jnp.asarray(c, jnp.float32 if c.dtype == jnp.float64 else c.dtype)
+            if c.ndim == 0:
+                c = c.reshape(1, 1)
+                shapes.append(("scalar", c.shape))
+            elif c.ndim == 1:
+                c = c.reshape(1, -1)
+                shapes.append(("vec", c.shape))
+            else:
+                shapes.append(("arr", c.shape))
+            arrays.append(c)
+        return shapes, arrays
+
+    const_shapes, const_inputs = pack_consts(point_consts)
+
+    def kernel(*refs):
+        idx = 0
+        traj_ref = refs[idx]; idx += 1
+        noise_ref = refs[idx]; idx += 1
+        c_ref = refs[idx]; idx += 1
+        gzf_ref = refs[idx]; idx += 1
+        theta_refs = refs[idx : idx + n_theta]; idx += n_theta
+        const_refs = refs[idx : idx + len(const_inputs)]
+        idx += len(const_inputs)
+        out_theta_refs = refs[idx : idx + n_theta]; idx += n_theta
+        gz0_ref = refs[idx]; idx += 1
+
+        pid = pl.program_id(0)
+
+        def unpack(shapes, refs_):
+            vals = []
+            for (kind, shape), ref in zip(shapes, refs_):
+                v = ref[:]
+                if kind == "scalar":
+                    v = v[0, 0]
+                elif kind == "vec":
+                    v = v[0]
+                vals.append(v)
+            return vals
+
+        consts = unpack(const_shapes, const_refs)
+        theta_vals = tuple(r[:] for r in theta_refs)
+        c_row = c_ref[0:1, :]
+
+        def body(t, carry):
+            g_z, acc = carry
+            j = nbridges - 1 - t
+            z = traj_ref[j]
+            xi = noise_ref[j]
+            flat_in = list(theta_vals) + [z, xi, j, g_z, c_row]
+            out = jax.core.eval_jaxpr(point_jaxpr.jaxpr, consts, *flat_in)
+            g_theta, g_z = tuple(out[:n_theta]), out[n_theta]
+            acc = tuple(a + g for a, g in zip(acc, g_theta))
+            return (g_z, acc)
+
+        acc0 = tuple(jnp.zeros(t.shape, jnp.float32) for t in theta_vals)
+        g_z0, acc = jax.lax.fori_loop(
+            0, nbridges, body, (gzf_ref[:], acc0)
+        )
+        gz0_ref[:] = g_z0
+
+        for o_ref, g in zip(out_theta_refs, acc):
+            @pl.when(pid == 0)
+            def _init(o_ref=o_ref, g=g):
+                o_ref[:] = g
+
+            @pl.when(pid != 0)
+            def _acc(o_ref=o_ref, g=g):
+                o_ref[:] = o_ref[:] + g
+
+    in_specs = [
+        pl.BlockSpec(
+            (nbridges + 1, dim_pad, block),
+            lambda i: (0, 0, i),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (nbridges, dim_pad, block),
+            lambda i: (0, 0, i),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+    ]
+    inputs = [traj_t, noise_t, cot_rows, gzf_t]
+    for t in theta:
+        in_specs.append(
+            pl.BlockSpec(
+                t.shape, lambda i, nd=t.ndim: (0,) * nd,
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(t)
+    for c in const_inputs:
+        in_specs.append(
+            pl.BlockSpec(
+                c.shape, lambda i, nd=c.ndim: (0,) * nd,
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(c)
+
+    out_specs = [
+        pl.BlockSpec(
+            t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM
+        )
+        for t in theta
+    ]
+    out_shape = [jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta]
+    out_specs.append(
+        pl.BlockSpec(
+            (dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+    )
+    out_shape.append(jax.ShapeDtypeStruct((dim_pad, n_pad), jnp.float32))
+
+    kwargs = {}
+    if not interpret:
+        import math
+
+        need = sum(math.prod(x.shape) * x.dtype.itemsize for x in inputs)
+        need += sum(4 * math.prod(s.shape) for s in out_shape)
+        if need > 14 * 1024 * 1024:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=min(2 * need, 120 * 1024 * 1024)
+            )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nchunks,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        **kwargs,
+    )(*inputs)
+
+    g_eps, g_betas, g_mean, g_logdiag = outs[:4]
+    grads = {
+        "eps": g_eps[0, 0],
+        "betas": g_betas[0],
+        "vd_mean": g_mean[:dim, 0],
+        "vd_logdiag": g_logdiag[:dim, 0],
+    }
+    if use_sn:
+        (g_factor, g_emb_t, g_head_w, g_head_b) = outs[4:8]
+        g_ws = outs[8 : 8 + n_layers]
+        g_bs = outs[8 + n_layers : 8 + 2 * n_layers]
+        grads["sn"] = {
+            "layers": [
+                {"w": w.T, "b": b[:, 0]} for w, b in zip(g_ws, g_bs)
+            ],
+            "head": {"w": g_head_w[:dim].T, "b": g_head_b[:dim, 0]},
+            "emb": g_emb_t.T,
+            "factor_sn": g_factor[0, 0],
+        }
+    g_z0 = outs[n_theta][:dim, :n_chains].T
+    return grads, g_z0

@@ -116,6 +116,7 @@ def evolve_overdamped_pallas(
     noise: Optional[jnp.ndarray] = None,
     return_trajectory: bool = False,
     return_trajectory_t: bool = False,
+    return_noise_t: bool = False,
     return_drifts: bool = False,
     interpret: bool = False,
 ):
@@ -135,6 +136,11 @@ def evolve_overdamped_pallas(
     (nbridges + 1, dim_pad, n_pad) with NO host-side repacking — the input
     the batched replay backward kernel (ops/pallas_vargrad.py) streams from
     HBM. Mutually exclusive with return_trajectory.
+    return_noise_t: additionally return the xi draws in the raw transposed
+    layout (nbridges, dim_pad, n_pad) — with the trajectory, the residuals
+    of the BPTT reverse-sweep backward kernel (ops/pallas_kl.py). Only
+    meaningful with the in-kernel PRNG (when `noise` is injected the caller
+    already holds it).
     return_drifts: additionally return the raw target scores
     gt_traj (nbridges + 1, N, dim) at [z_0..z_K] (computed in-kernel anyway;
     saves the replay loss its most expensive recompute).
@@ -447,6 +453,9 @@ def evolve_overdamped_pallas(
         traj_ref = None
         if return_trajectory or return_trajectory_t:
             traj_ref = refs[idx]; idx += 1
+        noise_out_ref = None
+        if return_noise_t:
+            noise_out_ref = refs[idx]; idx += 1
         drift_ref = None
         if return_drifts:
             drift_ref = refs[idx]; idx += 1
@@ -484,6 +493,8 @@ def evolve_overdamped_pallas(
                 xi = noise_ref[i]
             else:
                 xi = _box_muller((dim_pad, block))
+            if return_noise_t:
+                noise_out_ref[i] = xi
             return step_conv(z, gt, sn_cur, w, xi, i, beta, eps0, factor, *consts)
 
         z = z_ref[:]
@@ -543,6 +554,17 @@ def evolve_overdamped_pallas(
         out_shape.append(
             jax.ShapeDtypeStruct((n_traj, dim_pad, n_pad), jnp.float32)
         )
+    if return_noise_t:
+        out_specs.append(
+            pl.BlockSpec(
+                (nbridges, dim_pad, block),
+                lambda i: (0, 0, i),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((nbridges, dim_pad, n_pad), jnp.float32)
+        )
     if return_drifts:
         out_specs.append(
             pl.BlockSpec(
@@ -598,6 +620,9 @@ def evolve_overdamped_pallas(
         k += 1
     if return_trajectory_t:
         result.append(outs[k])  # (K + 1, dim_pad, n_pad) raw
+        k += 1
+    if return_noise_t:
+        result.append(outs[k])  # (K, dim_pad, n_pad) raw
         k += 1
     if return_drifts:
         result.append(jnp.swapaxes(outs[k][:, :dim, :n], 1, 2))  # (K+1, N, dim)

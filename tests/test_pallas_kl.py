@@ -1,0 +1,115 @@
+"""Fused KL (BPTT) training path: kl_bound_pallas's loss AND gradient must
+match jax.grad of the scan-based kl_bound exactly under injected noise —
+including the state cotangent chained through every step (target HVPs, net
+Jacobians) and the reparameterized initial draw."""
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as onp
+import pytest
+
+import cmcd_tpu
+from cmcd_tpu import bounds
+from cmcd_tpu.distributions import diag_gaussian_log_prob, diag_gaussian_sample
+from cmcd_tpu.integrators import overdamped as od
+from cmcd_tpu.ops.fused_train import kl_bound_pallas
+from cmcd_tpu.schedules import betas_from_grid
+
+_SPECS = {"MCD_ULA": od.ULA, "MCD_ULA_sn": od.ULA_SN, "MCD_CAIS_sn": od.CAIS}
+
+
+def make_case(target_name, mode, nb, n, eps_schedule="", eps=0.1,
+              init_sigma=8.0, emb_dim=16):
+    target = cmcd_tpu.load_target(target_name)
+    setup = bounds.CMCDSetup(
+        mode=mode, dim=target.dim, nbridges=nb, emb_dim=emb_dim,
+        grad_clipping=True, eps_schedule=eps_schedule,
+    )
+    trainable = bounds.default_trainable(setup.mode, train_vi=True,
+                                         train_eps=True)
+    params, ctx = bounds.initialize(
+        setup, target.log_prob, eps=eps, init_sigma=init_sigma,
+        trainable=trainable,
+    )
+    if "sn" in params["train"]:
+        params["train"]["sn"]["factor_sn"] = jnp.asarray(0.3)
+    key = jax.random.PRNGKey(0)
+    noise = jax.random.normal(jax.random.PRNGKey(2), (nb, n, target.dim))
+    return target, setup, params, ctx, key, noise
+
+
+def scan_kl_loss_fn(params, ctx, key, n, noise, spec):
+    def scan_loss(train):
+        p = bounds.merged_params({"train": train, "notrain": params["notrain"]})
+        z_key, evolve_key = jax.random.split(key)
+        z = diag_gaussian_sample(z_key, p["vd"], n)
+        w = -diag_gaussian_log_prob(p["vd"], z)
+        betas = betas_from_grid(p["mgridref_y"], p["gridref_x"], p["target_x"])
+        z, wd, _ = od.evolve_overdamped(
+            evolve_key, z, betas, p, ctx, spec, noise=noise
+        )
+        w = w + wd + ctx.target_log_prob(z)
+        return jnp.mean(-w)
+
+    return scan_loss
+
+
+@pytest.mark.parametrize(
+    "target_name,mode,eps_schedule",
+    [
+        ("many_gmm", "MCD_CAIS_sn", ""),
+        ("funnel", "MCD_CAIS_sn", "cos_sq"),
+        ("many_gmm", "MCD_ULA_sn", ""),
+        ("gmm", "MCD_ULA", ""),
+    ],
+)
+def test_pallas_kl_grad_matches_scan(target_name, mode, eps_schedule):
+    n, nb = 96, 5
+    target, setup, params, ctx, key, noise = make_case(
+        target_name, mode, nb, n, eps_schedule=eps_schedule
+    )
+    spec = _SPECS[mode]
+
+    def pallas_loss(train):
+        return kl_bound_pallas(
+            {"train": train, "notrain": params["notrain"]}, key, n, ctx,
+            setup, target, block=128, noise=noise, interpret=True,
+        )[0]
+
+    l1, g1 = jax.value_and_grad(
+        scan_kl_loss_fn(params, ctx, key, n, noise, spec)
+    )(params["train"])
+    l2, g2 = jax.value_and_grad(pallas_loss)(params["train"])
+    onp.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+    f1, _ = jax.flatten_util.ravel_pytree(g1)
+    f2, _ = jax.flatten_util.ravel_pytree(g2)
+    scale = float(jnp.linalg.norm(f1))
+    assert float(jnp.linalg.norm(f1 - f2)) < 2e-4 * scale + 1e-4, (
+        float(jnp.linalg.norm(f1 - f2)),
+        scale,
+    )
+
+
+def test_pallas_kl_neg_elbos_match_scan():
+    n, nb = 64, 4
+    target, setup, params, ctx, key, noise = make_case(
+        "many_gmm", "MCD_CAIS_sn", nb, n
+    )
+    p = bounds.merged_params(params)
+    z_key, evolve_key = jax.random.split(key)
+    z = diag_gaussian_sample(z_key, p["vd"], n)
+    w = -diag_gaussian_log_prob(p["vd"], z)
+    betas = betas_from_grid(p["mgridref_y"], p["gridref_x"], p["target_x"])
+    zf, wd, _ = od.evolve_overdamped(
+        evolve_key, z, betas, p, ctx, od.CAIS, noise=noise
+    )
+    neg_scan = -(w + wd + ctx.target_log_prob(zf))
+
+    _, (neg_pal, _) = kl_bound_pallas(
+        params, key, n, ctx, setup, target, block=128, noise=noise,
+        interpret=True,
+    )
+    onp.testing.assert_allclose(
+        onp.asarray(neg_scan), onp.asarray(neg_pal), atol=5e-4, rtol=1e-4
+    )
