@@ -149,18 +149,27 @@ def run_experiment(config, logger: MetricLogger | None = None):
                         "Using fused Pallas training path "
                         "(forward + backward kernels)."
                     )
-            elif mesh is None:
+            else:
                 # KL modes: fused forward + reverse-sweep BPTT backward.
-                # (With a mesh the sharded scan loss set above stays.)
-                from cmcd_tpu.ops.fused_train import kl_bound_pallas
+                if mesh is not None:
+                    from cmcd_tpu import parallel
 
-                train_loss_fn = lambda p, k, n, c, s: kl_bound_pallas(
-                    p, k, n, c, s, target
-                )
-                print(
-                    "Using fused Pallas KL training path "
-                    "(BPTT reverse-sweep kernel)."
-                )
+                    train_loss_fn = lambda p, k, n, c, s: (
+                        parallel.sharded_kl_bound_pallas(
+                            p, k, n, c, s, target, mesh=mesh
+                        )
+                    )
+                    print("Using SHARDED fused Pallas KL training path.")
+                else:
+                    from cmcd_tpu.ops.fused_train import kl_bound_pallas
+
+                    train_loss_fn = lambda p, k, n, c, s: kl_bound_pallas(
+                        p, k, n, c, s, target
+                    )
+                    print(
+                        "Using fused Pallas KL training path "
+                        "(BPTT reverse-sweep kernel)."
+                    )
     if eval_elbo_fn is None and mesh is not None:
         from cmcd_tpu import parallel
 

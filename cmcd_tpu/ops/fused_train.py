@@ -340,7 +340,7 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec):
     return evolve
 
 
-def kl_bound_pallas(
+def neg_elbos_pallas_kl(
     params,
     key,
     n_chains: int,
@@ -352,12 +352,14 @@ def kl_bound_pallas(
     noise=None,
     interpret: bool = False,
 ):
-    """KL training loss (mean negative ELBO) with fused Pallas forward AND
-    reverse-sweep BPTT backward. Same contract as bounds.kl_bound
-    (loss, (neg_elbos, z)) plus the target argument.
+    """Per-chain negative ELBOs via the fused forward kernel, differentiable
+    in params through the reverse-sweep BPTT backward kernel (full
+    backprop-through-time: state cotangents chain through every step, the
+    target term, and the reparameterized initial draw).
 
     Supported: the overdamped KL modes (MCD_ULA, MCD_ULA_sn, MCD_CAIS_sn).
-    """
+    The building block for kl_bound_pallas and the sharded multi-chip loss
+    (parallel.sharded_kl_bound_pallas)."""
     from cmcd_tpu.ops.fused import _PALLAS_SPECS
 
     assert setup.mode in KL_FUSED_MODES, (
@@ -392,7 +394,28 @@ def kl_bound_pallas(
     deltas, z_final = evolve(theta, z0, seed, noise)
 
     w = w0 + deltas + ctx.target_log_prob(z_final)
-    neg_elbos = -w
+    return -w, z_final
+
+
+def kl_bound_pallas(
+    params,
+    key,
+    n_chains: int,
+    ctx,
+    setup: bounds.CMCDSetup,
+    target,
+    *,
+    block: int | None = None,
+    noise=None,
+    interpret: bool = False,
+):
+    """KL training loss (mean negative ELBO) with fused Pallas forward AND
+    reverse-sweep BPTT backward. Same contract as bounds.kl_bound
+    (loss, (neg_elbos, z)) plus the target argument."""
+    neg_elbos, z_final = neg_elbos_pallas_kl(
+        params, key, n_chains, ctx, setup, target,
+        block=block, noise=noise, interpret=interpret,
+    )
     return jnp.mean(neg_elbos), (neg_elbos, z_final)
 
 

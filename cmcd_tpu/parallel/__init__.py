@@ -7,6 +7,7 @@ from cmcd_tpu.parallel.sharding import (
     sharded_ln_z,
     sharded_loss_for_mode,
     sharded_var_bound,
+    sharded_kl_bound_pallas,
     sharded_var_bound_pallas,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "sharded_ln_z",
     "sharded_loss_for_mode",
     "sharded_var_bound",
+    "sharded_kl_bound_pallas",
     "sharded_var_bound_pallas",
 ]

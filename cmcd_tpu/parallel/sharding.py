@@ -138,6 +138,51 @@ def sharded_var_bound_pallas(
     return loss, (neg_elbos, z)
 
 
+def sharded_kl_bound_pallas(
+    params, key, n_chains, ctx, setup, target, *, mesh,
+    block=None, noise=None, interpret=False,
+):
+    """Multi-chip fused KL training loss: each device runs the fused Pallas
+    forward (and, under autodiff, the reverse-sweep BPTT backward) kernel on
+    its chain shard; the mean reduces globally via XLA collectives, and
+    shard_map's transpose psums the replicated parameter gradients."""
+    from cmcd_tpu.ops.fused_train import neg_elbos_pallas_kl
+
+    ndev = mesh.shape[CHAIN_AXIS]
+    if n_chains % ndev != 0:
+        raise ValueError(f"n_chains={n_chains} not divisible by {ndev} devices")
+    local_n = n_chains // ndev
+
+    noise_specs = (P(None, CHAIN_AXIS, None),) if noise is not None else ()
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(),) + noise_specs,
+        out_specs=(P(CHAIN_AXIS), P(CHAIN_AXIS)),
+        check_vma=False,
+    )
+    def local(params, *local_noise):
+        idx = jax.lax.axis_index(CHAIN_AXIS)
+        local_key = jax.random.fold_in(key, idx)
+        return neg_elbos_pallas_kl(
+            params, local_key, local_n, ctx, setup, target,
+            block=block,
+            noise=local_noise[0] if local_noise else None,
+            interpret=interpret,
+        )
+
+    args = (params,) + ((noise,) if noise is not None else ())
+    try:
+        ctx_mgr = jax.set_mesh(mesh)
+    except ValueError:
+        neg_elbos, z = local(*args)
+    else:
+        with ctx_mgr:
+            neg_elbos, z = local(*args)
+    return jnp.mean(neg_elbos), (neg_elbos, z)
+
+
 def sharded_ln_z(neg_elbos):
     """ln Z = logsumexp(-neg_elbos) - log N over a (possibly sharded) batch.
     Under jit, XLA lowers the reduction to max-psum + sum-psum over ICI."""
