@@ -28,6 +28,7 @@ _PALLAS_SPECS = {
     "MCD_ULA_sn": od.ULA_SN,
     "MCD_CAIS_sn": od.CAIS,
     "MCD_CAIS_var_sn": od.CAIS_VAR,
+    "MCD_DNF": od.DNF,
 }
 
 # (spec, full_sn) for the underdamped kernel (ops/pallas_underdamped.py).
@@ -99,7 +100,12 @@ def supports_fused(setup: bounds.CMCDSetup, target) -> bool:
         return False
     if setup.nn_arch != "geffner" and setup.mode not in _SN_FREE_MODES:
         return False
-    if grad_t_for_target(target, _dim_pad(setup.dim)) is None:
+    # DNF has zero annealed drift — the target score never enters the
+    # kernel, so no transposed gradient is needed.
+    if (
+        setup.mode != "MCD_DNF"
+        and grad_t_for_target(target, _dim_pad(setup.dim)) is None
+    ):
         return False
     # Everything (weights, target constants, state) must fit physical VMEM;
     # configs past the budget fall back to the XLA scan path.
@@ -129,10 +135,13 @@ def supports_fused_train(setup: bounds.CMCDSetup, target) -> bool:
 
     if setup.mode != "MCD_CAIS_var_sn" and setup.mode not in KL_FUSED_MODES:
         return False
-    uses_net = setup.mode != "MCD_ULA"
+    uses_net = setup.mode not in _SN_FREE_MODES
     if uses_net and setup.nn_arch != "geffner":
         return False
-    if grad_t_for_target(target, _dim_pad(setup.dim)) is None:
+    if (
+        setup.mode != "MCD_DNF"  # zero drift: no target score in the kernel
+        and grad_t_for_target(target, _dim_pad(setup.dim)) is None
+    ):
         return False
     return (
         _vmem_estimate(setup, target, default_block(setup.dim))
@@ -179,6 +188,9 @@ def compute_elbos_fused(
             sn_weights, sn_meta = pack_geffner_t(p["sn"], dim, dim_pad)
         else:
             sn_weights = sn_meta = None
+        sn2_weights = None
+        if spec.use_sn2_bwd:
+            sn2_weights, _ = pack_geffner_t(p["sn2"], dim, dim_pad)
         z, w = evolve_overdamped_pallas(
             z0,
             w0,
@@ -192,6 +204,7 @@ def compute_elbos_fused(
             nbridges=setup.nbridges,
             sn_weights=sn_weights,
             sn_meta=sn_meta,
+            sn2_weights=sn2_weights,
             eps_schedule=setup.eps_schedule,
             grad_clipping=setup.grad_clipping,
             seed=seed,

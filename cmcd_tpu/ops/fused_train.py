@@ -245,12 +245,15 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec):
     use_sn = spec.fwd_sn or spec.bwd_sn
 
     def _pack(theta):
+        sn_w = sn_m = sn2_w = None
         if use_sn:
-            return pack_geffner_t(theta["sn"], dim, dim_pad)
-        return None, None
+            sn_w, sn_m = pack_geffner_t(theta["sn"], dim, dim_pad)
+        if spec.use_sn2_bwd:
+            sn2_w, _ = pack_geffner_t(theta["sn2"], dim, dim_pad)
+        return sn_w, sn_m, sn2_w
 
     def _run_forward(theta, z0, seed, noise):
-        sn_weights, sn_meta = _pack(theta)
+        sn_weights, sn_meta, sn2_weights = _pack(theta)
         inject = noise is not None
         out = evolve_overdamped_pallas(
             z0,
@@ -265,6 +268,7 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec):
             nbridges=setup.nbridges,
             sn_weights=sn_weights,
             sn_meta=sn_meta,
+            sn2_weights=sn2_weights,
             eps_schedule=setup.eps_schedule,
             grad_clipping=setup.grad_clipping,
             seed=seed,
@@ -300,7 +304,7 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec):
     def evolve_bwd(res, cots):
         theta, traj_t, noise_t, noise = res
         g_deltas, g_zfinal = cots  # BOTH live for KL
-        sn_weights, sn_meta = _pack(theta)
+        sn_weights, sn_meta, sn2_weights = _pack(theta)
         grads, g_z0 = evolve_kl_bwd_pallas(
             traj_t,
             noise_t,
@@ -317,6 +321,7 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec):
             n_chains=n_chains,
             sn_weights=sn_weights,
             sn_meta=sn_meta,
+            sn2_weights=sn2_weights,
             eps_schedule=setup.eps_schedule,
             grad_clipping=setup.grad_clipping,
             block=block,
@@ -324,6 +329,115 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec):
         )
         g_theta = {
             "eps": grads["eps"].astype(theta["eps"].dtype).reshape(theta["eps"].shape),
+            "betas": grads["betas"],
+            "vd_mean": grads["vd_mean"],
+            "vd_logdiag": grads["vd_logdiag"],
+        }
+        for k in ("sn", "sn2"):
+            if k in grads:
+                g_theta[k] = grads[k]
+                g_theta[k]["factor_sn"] = jnp.reshape(
+                    g_theta[k]["factor_sn"], theta[k]["factor_sn"].shape
+                )
+        g_noise = None if noise is None else jnp.zeros_like(noise)
+        return g_theta, g_z0, None, g_noise
+
+    evolve.defvjp(evolve_fwd, evolve_bwd)
+    return evolve
+
+
+def _make_evolve_kl_ud(setup, target, n_chains, block, interpret, spec, full_sn):
+    """custom_vjp'd (theta, z0, seed, noise) -> (w_delta, z_final) for the
+    underdamped KL modes (full BPTT through position AND momentum).
+
+    theta adds gamma/eta; the forward kernel stores (z, rho) trajectories +
+    noise draws (return_state_t) and the backward is the underdamped
+    reverse-sweep kernel (ops/pallas_kl.evolve_kl_bwd_underdamped)."""
+    from cmcd_tpu.ops.pallas_kl import evolve_kl_bwd_underdamped
+    from cmcd_tpu.ops.pallas_underdamped import (
+        evolve_underdamped_pallas,
+        pack_geffner_ud_t,
+    )
+
+    dim = setup.dim
+    dim_pad = _dim_pad(dim)
+    grad_t = grad_t_for_target(target, dim_pad)
+    use_sn = spec.fwd_sn or spec.bwd_sn != "none"
+
+    def _pack(theta):
+        if use_sn:
+            return pack_geffner_ud_t(theta["sn"], dim, dim_pad, full_sn)
+        return None, None
+
+    def _run_forward(theta, z0, seed, noise):
+        sn_weights, sn_meta = _pack(theta)
+        z_final, w_delta, ztraj, rtraj, noise_t = evolve_underdamped_pallas(
+            z0,
+            theta["betas"],
+            theta["eps"],
+            theta["gamma"],
+            theta["eta"],
+            theta["vd_mean"],
+            theta["vd_logdiag"],
+            grad_t,
+            spec,
+            dim=dim,
+            nbridges=setup.nbridges,
+            sn_weights=sn_weights,
+            sn_meta=sn_meta,
+            seed=seed,
+            block=block,
+            noise=noise,
+            return_state_t=True,
+            interpret=interpret,
+        )
+        return w_delta, z_final, ztraj, rtraj, noise_t
+
+    @jax.custom_vjp
+    def evolve(theta, z0, seed, noise):
+        w_delta, z_final, _, _, _ = _run_forward(theta, z0, seed, noise)
+        return w_delta, z_final
+
+    def evolve_fwd(theta, z0, seed, noise):
+        w_delta, z_final, ztraj, rtraj, noise_t = _run_forward(
+            theta, z0, seed, noise
+        )
+        return (w_delta, z_final), (theta, ztraj, rtraj, noise_t, noise)
+
+    def evolve_bwd(res, cots):
+        theta, ztraj, rtraj, noise_t, noise = res
+        g_deltas, g_zfinal = cots
+        sn_weights, sn_meta = _pack(theta)
+        grads, g_z0 = evolve_kl_bwd_underdamped(
+            ztraj,
+            rtraj,
+            noise_t,
+            g_deltas,
+            g_zfinal,
+            theta["betas"],
+            theta["eps"],
+            theta["gamma"],
+            theta["eta"],
+            theta["vd_mean"],
+            theta["vd_logdiag"],
+            grad_t,
+            spec,
+            dim=dim,
+            nbridges=setup.nbridges,
+            n_chains=n_chains,
+            sn_weights=sn_weights,
+            sn_meta=sn_meta,
+            block=block,
+            interpret=interpret,
+        )
+        g_theta = {
+            "eps": grads["eps"].astype(theta["eps"].dtype).reshape(theta["eps"].shape),
+            "gamma": grads["gamma"].astype(theta["gamma"].dtype).reshape(
+                theta["gamma"].shape
+            ),
+            "eta": grads["eta"].astype(theta["eta"].dtype).reshape(
+                theta["eta"].shape
+            ),
             "betas": grads["betas"],
             "vd_mean": grads["vd_mean"],
             "vd_logdiag": grads["vd_logdiag"],
@@ -340,6 +454,155 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec):
     return evolve
 
 
+def _make_evolve_kl_uha(setup, target, n_chains, block, interpret):
+    """custom_vjp'd (theta, z0, seed, noise) -> (w_delta, z_final) for UHA
+    (full BPTT through position and momentum; trainable momentum logscale
+    md — the initial rho_0 = e^{md} xi_0 draw is theta-dependent and the
+    backward kernel accounts for it)."""
+    from cmcd_tpu.ops.pallas_kl import evolve_kl_bwd_uha
+    from cmcd_tpu.ops.pallas_uha import evolve_uha_pallas
+
+    dim = setup.dim
+    dim_pad = _dim_pad(dim)
+    grad_t = grad_t_for_target(target, dim_pad)
+
+    def _run_forward(theta, z0, seed, noise):
+        z_final, w_delta, ztraj, rtraj, noise_t = evolve_uha_pallas(
+            z0,
+            theta["betas"],
+            theta["eps"],
+            theta["eta"],
+            theta["md"],
+            theta["vd_mean"],
+            theta["vd_logdiag"],
+            grad_t,
+            dim=dim,
+            nbridges=setup.nbridges,
+            lfsteps=setup.lfsteps,
+            seed=seed,
+            block=block,
+            noise=noise,
+            return_state_t=True,
+            interpret=interpret,
+        )
+        return w_delta, z_final, ztraj, rtraj, noise_t
+
+    @jax.custom_vjp
+    def evolve(theta, z0, seed, noise):
+        w_delta, z_final, _, _, _ = _run_forward(theta, z0, seed, noise)
+        return w_delta, z_final
+
+    def evolve_fwd(theta, z0, seed, noise):
+        w_delta, z_final, ztraj, rtraj, noise_t = _run_forward(
+            theta, z0, seed, noise
+        )
+        return (w_delta, z_final), (theta, ztraj, rtraj, noise_t, noise)
+
+    def evolve_bwd(res, cots):
+        theta, ztraj, rtraj, noise_t, noise = res
+        g_deltas, g_zfinal = cots
+        grads, g_z0 = evolve_kl_bwd_uha(
+            ztraj,
+            rtraj,
+            noise_t,
+            g_deltas,
+            g_zfinal,
+            theta["betas"],
+            theta["eps"],
+            theta["eta"],
+            theta["md"],
+            theta["vd_mean"],
+            theta["vd_logdiag"],
+            grad_t,
+            dim=dim,
+            nbridges=setup.nbridges,
+            n_chains=n_chains,
+            lfsteps=setup.lfsteps,
+            block=block,
+            interpret=interpret,
+        )
+        g_theta = {
+            "eps": grads["eps"].astype(theta["eps"].dtype).reshape(theta["eps"].shape),
+            "eta": grads["eta"].astype(theta["eta"].dtype).reshape(
+                theta["eta"].shape
+            ),
+            "md": grads["md"],
+            "betas": grads["betas"],
+            "vd_mean": grads["vd_mean"],
+            "vd_logdiag": grads["vd_logdiag"],
+        }
+        g_noise = None if noise is None else jnp.zeros_like(noise)
+        return g_theta, g_z0, None, g_noise
+
+    evolve.defvjp(evolve_fwd, evolve_bwd)
+    return evolve
+
+
+def _neg_elbos_pallas_kl_uha(
+    params, key, n_chains, ctx, setup, target, *, block, noise, interpret
+):
+    p = bounds.merged_params(params)
+    dim = setup.dim
+
+    z_key, e_key = jax.random.split(key)
+    base = jax.random.normal(z_key, (n_chains, dim))
+    mean, logdiag = p["vd"]["mean"], p["vd"]["logdiag"]
+    z0 = mean + jnp.exp(logdiag) * base
+    w0 = -diag_gaussian_log_prob(p["vd"], z0)
+
+    betas = betas_from_grid(p["mgridref_y"], p["gridref_x"], p["target_x"])
+    seed = jax.random.randint(e_key, (), 0, jnp.iinfo(jnp.int32).max)
+
+    theta = {
+        "eps": p["eps"],
+        "eta": p["eta"],
+        "md": p["md"],
+        "betas": betas,
+        "vd_mean": mean,
+        "vd_logdiag": logdiag,
+    }
+    evolve = _make_evolve_kl_uha(setup, target, n_chains, block, interpret)
+    w_delta, z_final = evolve(theta, z0, seed, noise)
+    w = w0 + w_delta + ctx.target_log_prob(z_final)
+    return -w, z_final
+
+
+def _neg_elbos_pallas_kl_ud(
+    params, key, n_chains, ctx, setup, target, *, block, noise, interpret
+):
+    from cmcd_tpu.ops.fused import _PALLAS_UD_SPECS
+
+    spec, full_sn = _PALLAS_UD_SPECS[setup.mode]
+    p = bounds.merged_params(params)
+    dim = setup.dim
+
+    z_key, e_key = jax.random.split(key)
+    base = jax.random.normal(z_key, (n_chains, dim))
+    mean, logdiag = p["vd"]["mean"], p["vd"]["logdiag"]
+    z0 = mean + jnp.exp(logdiag) * base
+    w0 = -diag_gaussian_log_prob(p["vd"], z0)
+
+    betas = betas_from_grid(p["mgridref_y"], p["gridref_x"], p["target_x"])
+    seed = jax.random.randint(e_key, (), 0, jnp.iinfo(jnp.int32).max)
+
+    theta = {
+        "eps": p["eps"],
+        "gamma": p["gamma"],
+        "eta": p["eta"],
+        "betas": betas,
+        "vd_mean": mean,
+        "vd_logdiag": logdiag,
+    }
+    if spec.fwd_sn or spec.bwd_sn != "none":
+        theta["sn"] = p["sn"]
+    evolve = _make_evolve_kl_ud(
+        setup, target, n_chains, block, interpret, spec, full_sn
+    )
+    w_delta, z_final = evolve(theta, z0, seed, noise)
+    w = w0 + w_delta + ctx.target_log_prob(z_final)
+    return -w, z_final
+
+
 def neg_elbos_pallas_kl(
     params,
     key,
@@ -353,11 +616,12 @@ def neg_elbos_pallas_kl(
     interpret: bool = False,
 ):
     """Per-chain negative ELBOs via the fused forward kernel, differentiable
-    in params through the reverse-sweep BPTT backward kernel (full
+    in params through the reverse-sweep BPTT backward kernels (full
     backprop-through-time: state cotangents chain through every step, the
     target term, and the reparameterized initial draw).
 
-    Supported: the overdamped KL modes (MCD_ULA, MCD_ULA_sn, MCD_CAIS_sn).
+    Supported: the overdamped KL modes (MCD_ULA, MCD_ULA_sn, MCD_CAIS_sn)
+    and the underdamped family (MCD_U_* and MCD_CAIS_UHA_sn).
     The building block for kl_bound_pallas and the sharded multi-chip loss
     (parallel.sharded_kl_bound_pallas)."""
     from cmcd_tpu.ops.fused import _PALLAS_SPECS
@@ -366,6 +630,18 @@ def neg_elbos_pallas_kl(
         f"fused KL training implements {sorted(KL_FUSED_MODES)}, "
         f"not {setup.mode}"
     )
+    if block is None:
+        block = default_block(setup.dim)
+    if setup.mode == "UHA":
+        return _neg_elbos_pallas_kl_uha(
+            params, key, n_chains, ctx, setup, target,
+            block=block, noise=noise, interpret=interpret,
+        )
+    if setup.mode in UD_KL_FUSED_MODES:
+        return _neg_elbos_pallas_kl_ud(
+            params, key, n_chains, ctx, setup, target,
+            block=block, noise=noise, interpret=interpret,
+        )
     spec = _PALLAS_SPECS[setup.mode]
     p = bounds.merged_params(params)
     dim = setup.dim
@@ -389,6 +665,8 @@ def neg_elbos_pallas_kl(
     }
     if spec.fwd_sn or spec.bwd_sn:
         theta["sn"] = p["sn"]
+    if spec.use_sn2_bwd:
+        theta["sn2"] = p["sn2"]
     evolve = _make_evolve_kl(setup, target, n_chains, block, interpret, spec)
     # z0 is DIFFERENTIABLE through evolve here (BPTT), unlike VarGrad.
     deltas, z_final = evolve(theta, z0, seed, noise)
@@ -419,7 +697,21 @@ def kl_bound_pallas(
     return jnp.mean(neg_elbos), (neg_elbos, z_final)
 
 
-KL_FUSED_MODES = frozenset({"MCD_ULA", "MCD_ULA_sn", "MCD_CAIS_sn"})
+UD_KL_FUSED_MODES = frozenset(
+    {
+        "MCD_U_a-lp",
+        "MCD_U_a-lp-sna",
+        "MCD_U_a-lp-sn",
+        "MCD_U_e-lp",
+        "MCD_U_e-lp-sna",
+        "MCD_U_ea-lp-sn",
+        "MCD_CAIS_UHA_sn",
+    }
+)
+KL_FUSED_MODES = (
+    frozenset({"MCD_ULA", "MCD_ULA_sn", "MCD_CAIS_sn", "MCD_DNF", "UHA"})
+    | UD_KL_FUSED_MODES
+)
 
 
 def var_bound_pallas(

@@ -36,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cmcd_tpu.integrators.overdamped import OverdampedSpec
+from cmcd_tpu.integrators.underdamped import UnderdampedSpec
 from cmcd_tpu.ops.pallas_overdamped import LANE, _round_up
 
 
@@ -56,6 +57,7 @@ def evolve_kl_bwd_pallas(
     n_chains: int,
     sn_weights,
     sn_meta,
+    sn2_weights=None,
     eps_schedule: str = "",
     grad_clipping: bool = False,
     block: int = 1024,
@@ -104,23 +106,29 @@ def evolve_kl_bwd_pallas(
     clip_t = spec.clip_target if grad_clipping else None
     clip_q = spec.clip_vd if grad_clipping else None
 
-    if use_sn:
-        layer_ws = [w_t for (w_t, _) in sn_weights["layers"]]
-        layer_bs = [b_col for (_, b_col) in sn_weights["layers"]]
-        head_w, head_b = sn_weights["head"]
-        factor = sn_weights["factor_sn"]
-        sn_theta = (
-            jnp.asarray(factor, jnp.float32).reshape(1, 1),
-            sn_weights["emb_t"],
+    def _net_theta(weights):
+        layer_ws = [w_t for (w_t, _) in weights["layers"]]
+        layer_bs = [b_col for (_, b_col) in weights["layers"]]
+        head_w, head_b = weights["head"]
+        return (
+            jnp.asarray(weights["factor_sn"], jnp.float32).reshape(1, 1),
+            weights["emb_t"],
             head_w,
             head_b,
             *layer_ws,
             *layer_bs,
         )
-        n_layers = len(layer_ws)
+
+    if use_sn:
+        sn_theta = _net_theta(sn_weights)
+        n_layers = len(sn_weights["layers"])
     else:
         sn_theta = ()
         n_layers = 0
+    # DNF: the backward mean uses a SECOND net (same arch), reference
+    # src/vi_dnf.py — its parameters enter theta as their own group.
+    sn2_theta = _net_theta(sn2_weights) if spec.use_sn2_bwd else ()
+    n_sn = len(sn_theta)
 
     theta = (
         jnp.asarray(eps, jnp.float32).reshape(1, 1),
@@ -128,6 +136,7 @@ def evolve_kl_bwd_pallas(
         mean_col,
         logdiag_col,
         *sn_theta,
+        *sn2_theta,
     )
     n_theta = len(theta)
 
@@ -172,7 +181,8 @@ def evolve_kl_bwd_pallas(
         math (integrators/overdamped.py step), fully differentiable in
         (theta, z)."""
         eps_arr, betas_r, mean_c, logdiag_c = theta[:4]
-        th_sn = theta[4:]
+        th_sn = theta[4 : 4 + n_sn]
+        th_sn2 = theta[4 + n_sn :]
         eps0 = eps_arr[0, 0]
 
         fj = j.astype(jnp.float32)
@@ -202,7 +212,9 @@ def evolve_kl_bwd_pallas(
         bk_mean = z_next - eps_j * grad_u(z_next)
         if spec.bwd_sn:
             bk_mean = bk_mean + eps_j * sn_apply(
-                th_sn, z_next, j + spec.bwd_sn_offset
+                th_sn2 if spec.use_sn2_bwd else th_sn,
+                z_next,
+                j + spec.bwd_sn_offset,
             )
 
         r_fk = (z_next - fk_mean) * row_mask
@@ -385,10 +397,413 @@ def evolve_kl_bwd_pallas(
         "vd_mean": g_mean[:dim, 0],
         "vd_logdiag": g_logdiag[:dim, 0],
     }
+
+    def _unpack_net(base):
+        g_factor, g_emb_t, g_head_w, g_head_b = outs[base : base + 4]
+        g_ws = outs[base + 4 : base + 4 + n_layers]
+        g_bs = outs[base + 4 + n_layers : base + 4 + 2 * n_layers]
+        return {
+            "layers": [
+                {"w": w.T, "b": b[:, 0]} for w, b in zip(g_ws, g_bs)
+            ],
+            "head": {"w": g_head_w[:dim].T, "b": g_head_b[:dim, 0]},
+            "emb": g_emb_t.T,
+            "factor_sn": g_factor[0, 0],
+        }
+
     if use_sn:
-        (g_factor, g_emb_t, g_head_w, g_head_b) = outs[4:8]
-        g_ws = outs[8 : 8 + n_layers]
-        g_bs = outs[8 + n_layers : 8 + 2 * n_layers]
+        grads["sn"] = _unpack_net(4)
+    if spec.use_sn2_bwd:
+        grads["sn2"] = _unpack_net(4 + n_sn)
+    g_z0 = outs[n_theta][:dim, :n_chains].T
+    return grads, g_z0
+
+
+def evolve_kl_bwd_underdamped(
+    ztraj_t,
+    rtraj_t,
+    noise_t,
+    cot,
+    g_zfinal,
+    betas,
+    eps,
+    gamma,
+    eta,
+    vd_mean,
+    vd_logdiag,
+    grad_logp_t,
+    spec: UnderdampedSpec,
+    *,
+    dim: int,
+    nbridges: int,
+    n_chains: int,
+    sn_weights,
+    sn_meta,
+    block: int = 1024,
+    interpret: bool = False,
+):
+    """Reverse-sweep BPTT gradients for the underdamped (leapfrog) family.
+
+    ztraj_t / rtraj_t: (nbridges + 1, dim_pad, n_pad) position / momentum
+    trajectories; noise_t: (nbridges + 1, dim_pad, n_pad) draws (index 0 the
+    initial momentum, i + 1 the step-i refresh) — the raw transposed
+    outputs of evolve_underdamped_pallas(..., return_state_t=True).
+    cot: (n_chains,) cotangent of the per-chain w_delta (which INCLUDES the
+    endpoint momentum corrections, so the sweep seeds the momentum
+    cotangent with c * (-rho_K) from the final +log N(rho_K; 0, I) term;
+    the initial -log N(rho_0; 0, I) term's gradient dies into the noise).
+    g_zfinal: (n_chains, dim) cotangent of the final position (target term,
+    computed by XLA).
+
+    Returns (grads dict {"eps","gamma","eta","betas","vd_mean",
+    "vd_logdiag"[,"sn"]}, g_z0 (n_chains, dim)).
+    """
+    n_traj, dim_pad, n_pad = ztraj_t.shape
+    assert n_traj == nbridges + 1
+    block = _round_up(block, LANE)
+    if n_pad % block != 0:
+        block = next(
+            b for b in range(min(block, n_pad), 0, -LANE) if n_pad % b == 0
+        )
+    nchunks = n_pad // block
+
+    use_sn = spec.fwd_sn or spec.bwd_sn != "none"
+    if use_sn:
+        emb_dim = sn_meta["emb_dim"]
+        in_dim = sn_meta["in_dim"]
+        sn_nbridges = sn_meta["nbridges"]
+        full = sn_meta["full_sn"]
+
+    cot_rows = jnp.zeros((8, n_pad), jnp.float32).at[0, :n_chains].set(cot)
+    gzf_t = (
+        jnp.zeros((dim_pad, n_pad), jnp.float32).at[:dim, :n_chains].set(
+            g_zfinal.T
+        )
+    )
+    mean_col = jnp.zeros((dim_pad, 1), jnp.float32).at[:dim, 0].set(vd_mean)
+    logdiag_col = (
+        jnp.zeros((dim_pad, 1), jnp.float32).at[:dim, 0].set(vd_logdiag)
+    )
+    row_mask = (jnp.arange(dim_pad) < dim).astype(jnp.float32)[:, None]
+    betas_row = jnp.asarray(betas, jnp.float32).reshape(1, nbridges)
+
+    # CAIS underdamped hardcodes target clip 1e2, vd unclipped
+    # (src/mcd_under_lp_a_cais.py:23-29); other modes are unclipped.
+    clip_t = 1e2 if spec.cais else None
+
+    if use_sn:
+        layer_ws = [w_t for (w_t, _) in sn_weights["layers"]]
+        layer_bs = [b_col for (_, b_col) in sn_weights["layers"]]
+        head_w, head_b = sn_weights["head"]
+        sn_theta = (
+            jnp.asarray(sn_weights["factor_sn"], jnp.float32).reshape(1, 1),
+            sn_weights["emb_t"],
+            head_w,
+            head_b,
+            *layer_ws,
+            *layer_bs,
+        )
+        n_layers = len(layer_ws)
+    else:
+        sn_theta = ()
+        n_layers = 0
+
+    theta = (
+        jnp.asarray(eps, jnp.float32).reshape(1, 1),
+        jnp.asarray(gamma, jnp.float32).reshape(1, 1),
+        jnp.asarray(eta, jnp.float32).reshape(1, 1),
+        betas_row,
+        mean_col,
+        logdiag_col,
+        *sn_theta,
+    )
+    n_theta = len(theta)
+
+    log_2pi = 1.8378770664093453
+
+    def sn_apply(th, z, rho, i):
+        factor_arr, emb_t, head_w, head_b = th[:4]
+        ws = th[4 : 4 + n_layers]
+        bs = th[4 + n_layers : 4 + 2 * n_layers]
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (sn_nbridges, 1), 0)
+            == jnp.clip(i, 0, sn_nbridges - 1)
+        ).astype(jnp.float32)
+        emb_col = jnp.dot(emb_t, onehot, preferred_element_type=jnp.float32)
+        b_cols = z.shape[1]
+        parts = [z[:dim]]
+        if full and rho is not None:
+            parts.append(rho[:dim])
+        parts.append(jnp.broadcast_to(emb_col, (emb_dim, b_cols)))
+        h = jnp.concatenate(parts, axis=0)
+        if in_dim > h.shape[0]:
+            h = jnp.concatenate(
+                [h, jnp.zeros((in_dim - h.shape[0], b_cols), z.dtype)], axis=0
+            )
+        for w_t, b_col in zip(ws, bs):
+            h = h + jax.nn.softplus(
+                jnp.dot(w_t, h, preferred_element_type=jnp.float32) + b_col
+            )
+        return (
+            jnp.dot(head_w, h, preferred_element_type=jnp.float32) + head_b
+        ) * factor_arr[0, 0]
+
+    def step_fn(theta, z, rho, xi, j):
+        """(z_next, rho_next, delta) for bridge step j — the scan
+        integrator's exact math (integrators/underdamped.py step), fully
+        differentiable in (theta, z, rho)."""
+        eps_arr, gamma_arr, eta_arr, betas_r, mean_c, logdiag_c = theta[:6]
+        th_sn = theta[6:]
+        eps0 = eps_arr[0, 0]
+        gamma_v = gamma_arr[0, 0]
+        eta_v = eta_arr[0, 0]
+
+        lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, nbridges), 1)
+        beta = jnp.sum(betas_r * (lane_idx == j).astype(jnp.float32))
+
+        if spec.cais:
+            fj = j.astype(jnp.float32)
+            eps_i = (
+                eps0
+                * jnp.cos((fj / nbridges + 0.008) / 1.008 * 0.5 * jnp.pi) ** 2
+            )
+        else:
+            eps_i = eps0
+
+        def grad_u(zz):
+            gt = grad_logp_t(zz)
+            gq = -(zz - mean_c) * jnp.exp(-2.0 * logdiag_c)
+            if clip_t is not None:
+                gt = jnp.clip(gt, -clip_t, clip_t)
+            return -(beta * gt + (1.0 - beta) * gq) * row_mask
+
+        eta_aux = None
+        if spec.refresh == "approx":
+            eta_aux = gamma_v * eps_i
+            fk_mean = rho * (1.0 - eta_aux)
+            fwd_scale = jnp.sqrt(2.0 * eta_aux)
+            bwd_scale = fwd_scale
+        elif spec.refresh == "exact":
+            fk_mean = eta_v * rho
+            fwd_scale = jnp.sqrt(1.0 - eta_v**2)
+            bwd_scale = fwd_scale
+        else:  # exact_fwd: eta_aux from the UNSCHEDULED eps (reference)
+            eta_aux = gamma_v * eps0
+            eta_e = jnp.exp(-eta_aux)
+            fk_mean = eta_e * rho
+            fwd_scale = jnp.sqrt(1.0 - eta_e**2)
+            bwd_scale = jnp.sqrt(2.0 * eta_aux)
+
+        if spec.fwd_sn:
+            fk_mean = fk_mean - 2.0 * eta_aux * sn_apply(th_sn, z, rho, j)
+
+        rho_prime = fk_mean + fwd_scale * xi
+
+        rho_pp = rho_prime - eps_i * grad_u(z) / 2.0
+        z_next = z + eps_i * rho_pp
+        rho_next = rho_pp - eps_i * grad_u(z_next) / 2.0
+
+        if spec.refresh == "exact":
+            bk_mean = eta_v * rho_prime
+            gain = 2.0 * (1.0 - eta_v)
+        else:
+            bk_mean = rho_prime * (1.0 - eta_aux)
+            gain = 2.0 * eta_aux
+        if spec.bwd_sn == "state":
+            bk_mean = bk_mean + gain * sn_apply(th_sn, z, None, j)
+        elif spec.bwd_sn == "full":
+            bk_mean = bk_mean + gain * sn_apply(th_sn, z, rho_prime, j)
+
+        r_fk = (rho_prime - fk_mean) * row_mask
+        r_bk = (rho - bk_mean) * row_mask
+        fk_lp = -0.5 * jnp.sum(r_fk * r_fk, axis=0, keepdims=True) / (
+            fwd_scale**2
+        ) - dim * (0.5 * log_2pi + jnp.log(fwd_scale))
+        bk_lp = -0.5 * jnp.sum(r_bk * r_bk, axis=0, keepdims=True) / (
+            bwd_scale**2
+        ) - dim * (0.5 * log_2pi + jnp.log(bwd_scale))
+        return z_next, rho_next, bk_lp - fk_lp
+
+    def point_fn(theta, z, rho, xi, j, g_zn, g_rn, c_row):
+        _, vjp_fn = jax.vjp(
+            lambda th, zz, rr: step_fn(th, zz, rr, xi, j), theta, z, rho
+        )
+        g_theta, g_z, g_rho = vjp_fn((g_zn, g_rn, c_row))
+        return (*g_theta, g_z, g_rho)
+
+    zb = jax.ShapeDtypeStruct((dim_pad, block), jnp.float32)
+    example = (
+        tuple(jax.ShapeDtypeStruct(t.shape, t.dtype) for t in theta),
+        zb,  # z
+        zb,  # rho
+        zb,  # xi
+        jax.ShapeDtypeStruct((), jnp.int32),  # j
+        zb,  # g_zn
+        zb,  # g_rn
+        jax.ShapeDtypeStruct((1, block), jnp.float32),  # c_row
+    )
+    point_jaxpr = jax.make_jaxpr(point_fn)(*example)
+    point_consts = point_jaxpr.consts
+
+    def pack_consts(raw):
+        shapes, arrays = [], []
+        for c in raw:
+            c = jnp.asarray(c, jnp.float32 if c.dtype == jnp.float64 else c.dtype)
+            if c.ndim == 0:
+                c = c.reshape(1, 1)
+                shapes.append(("scalar", c.shape))
+            elif c.ndim == 1:
+                c = c.reshape(1, -1)
+                shapes.append(("vec", c.shape))
+            else:
+                shapes.append(("arr", c.shape))
+            arrays.append(c)
+        return shapes, arrays
+
+    const_shapes, const_inputs = pack_consts(point_consts)
+
+    def kernel(*refs):
+        idx = 0
+        ztraj_ref = refs[idx]; idx += 1
+        rtraj_ref = refs[idx]; idx += 1
+        noise_ref = refs[idx]; idx += 1
+        c_ref = refs[idx]; idx += 1
+        gzf_ref = refs[idx]; idx += 1
+        theta_refs = refs[idx : idx + n_theta]; idx += n_theta
+        const_refs = refs[idx : idx + len(const_inputs)]
+        idx += len(const_inputs)
+        out_theta_refs = refs[idx : idx + n_theta]; idx += n_theta
+        gz0_ref = refs[idx]; idx += 1
+
+        pid = pl.program_id(0)
+
+        def unpack(shapes, refs_):
+            vals = []
+            for (kind, shape), ref in zip(shapes, refs_):
+                v = ref[:]
+                if kind == "scalar":
+                    v = v[0, 0]
+                elif kind == "vec":
+                    v = v[0]
+                vals.append(v)
+            return vals
+
+        consts = unpack(const_shapes, const_refs)
+        theta_vals = tuple(r[:] for r in theta_refs)
+        c_row = c_ref[0:1, :]
+
+        def body(t, carry):
+            g_z, g_rho, acc = carry
+            j = nbridges - 1 - t
+            z = ztraj_ref[j]
+            rho = rtraj_ref[j]
+            xi = noise_ref[j + 1]
+            flat_in = list(theta_vals) + [z, rho, xi, j, g_z, g_rho, c_row]
+            out = jax.core.eval_jaxpr(point_jaxpr.jaxpr, consts, *flat_in)
+            g_theta = tuple(out[:n_theta])
+            g_z, g_rho = out[n_theta], out[n_theta + 1]
+            acc = tuple(a + g for a, g in zip(acc, g_theta))
+            return (g_z, g_rho, acc)
+
+        # Momentum cotangent seeded by the endpoint correction
+        # w += log N(rho_K; 0, I): d/d rho_K = -rho_K, times the per-chain
+        # cotangent of w_delta.
+        g_rho_init = -rtraj_ref[nbridges] * c_row
+        acc0 = tuple(jnp.zeros(t.shape, jnp.float32) for t in theta_vals)
+        g_z0, _, acc = jax.lax.fori_loop(
+            0, nbridges, body, (gzf_ref[:], g_rho_init, acc0)
+        )
+        gz0_ref[:] = g_z0
+
+        for o_ref, g in zip(out_theta_refs, acc):
+            @pl.when(pid == 0)
+            def _init(o_ref=o_ref, g=g):
+                o_ref[:] = g
+
+            @pl.when(pid != 0)
+            def _acc(o_ref=o_ref, g=g):
+                o_ref[:] = o_ref[:] + g
+
+    traj_spec = pl.BlockSpec(
+        (nbridges + 1, dim_pad, block),
+        lambda i: (0, 0, i),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        traj_spec,
+        traj_spec,
+        traj_spec,
+        pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+    ]
+    inputs = [ztraj_t, rtraj_t, noise_t, cot_rows, gzf_t]
+    for t in theta:
+        in_specs.append(
+            pl.BlockSpec(
+                t.shape, lambda i, nd=t.ndim: (0,) * nd,
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(t)
+    for c in const_inputs:
+        in_specs.append(
+            pl.BlockSpec(
+                c.shape, lambda i, nd=c.ndim: (0,) * nd,
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(c)
+
+    out_specs = [
+        pl.BlockSpec(
+            t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM
+        )
+        for t in theta
+    ]
+    out_shape = [jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta]
+    out_specs.append(
+        pl.BlockSpec(
+            (dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+    )
+    out_shape.append(jax.ShapeDtypeStruct((dim_pad, n_pad), jnp.float32))
+
+    kwargs = {}
+    if not interpret:
+        import math
+
+        need = sum(math.prod(x.shape) * x.dtype.itemsize for x in inputs)
+        need += sum(4 * math.prod(s.shape) for s in out_shape)
+        if need > 14 * 1024 * 1024:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=min(2 * need, 120 * 1024 * 1024)
+            )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nchunks,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        **kwargs,
+    )(*inputs)
+
+    g_eps, g_gamma, g_eta, g_betas, g_mean, g_logdiag = outs[:6]
+    grads = {
+        "eps": g_eps[0, 0],
+        "gamma": g_gamma[0, 0],
+        "eta": g_eta[0, 0],
+        "betas": g_betas[0],
+        "vd_mean": g_mean[:dim, 0],
+        "vd_logdiag": g_logdiag[:dim, 0],
+    }
+    if use_sn:
+        (g_factor, g_emb_t, g_head_w, g_head_b) = outs[6:10]
+        g_ws = outs[10 : 10 + n_layers]
+        g_bs = outs[10 + n_layers : 10 + 2 * n_layers]
         grads["sn"] = {
             "layers": [
                 {"w": w.T, "b": b[:, 0]} for w, b in zip(g_ws, g_bs)
@@ -397,5 +812,293 @@ def evolve_kl_bwd_pallas(
             "emb": g_emb_t.T,
             "factor_sn": g_factor[0, 0],
         }
+    g_z0 = outs[n_theta][:dim, :n_chains].T
+    return grads, g_z0
+
+
+def evolve_kl_bwd_uha(
+    ztraj_t,
+    rtraj_t,
+    noise_t,
+    cot,
+    g_zfinal,
+    betas,
+    eps,
+    eta,
+    md_logscale,
+    vd_mean,
+    vd_logdiag,
+    grad_logp_t,
+    *,
+    dim: int,
+    nbridges: int,
+    n_chains: int,
+    lfsteps: int = 1,
+    block: int = 1024,
+    interpret: bool = False,
+):
+    """Reverse-sweep BPTT gradients for UHA (integrators/uha.py).
+
+    ztraj_t / rtraj_t / noise_t: (nbridges + 1, dim_pad, n_pad) raw
+    transposed outputs of evolve_uha_pallas(..., return_state_t=True)
+    (noise index 0 is the initial momentum BASE draw xi_0; rho_0 =
+    e^{md} * xi_0 is THETA-dependent, so after the sweep the md gradient
+    picks up sum_n g_rho0 * rho_0 per dimension).
+    cot: (n_chains,) cotangent of w_delta; g_zfinal: (n_chains, dim)
+    cotangent of the final position.
+
+    Returns (grads {"eps","eta","md","betas","vd_mean","vd_logdiag"},
+    g_z0 (n_chains, dim)).
+    """
+    n_traj, dim_pad, n_pad = ztraj_t.shape
+    assert n_traj == nbridges + 1
+    block = _round_up(block, LANE)
+    if n_pad % block != 0:
+        block = next(
+            b for b in range(min(block, n_pad), 0, -LANE) if n_pad % b == 0
+        )
+    nchunks = n_pad // block
+
+    cot_rows = jnp.zeros((8, n_pad), jnp.float32).at[0, :n_chains].set(cot)
+    gzf_t = (
+        jnp.zeros((dim_pad, n_pad), jnp.float32).at[:dim, :n_chains].set(
+            g_zfinal.T
+        )
+    )
+    mean_col = jnp.zeros((dim_pad, 1), jnp.float32).at[:dim, 0].set(vd_mean)
+    logdiag_col = (
+        jnp.zeros((dim_pad, 1), jnp.float32).at[:dim, 0].set(vd_logdiag)
+    )
+    md_col = jnp.zeros((dim_pad, 1), jnp.float32).at[:dim, 0].set(md_logscale)
+    row_mask = (jnp.arange(dim_pad) < dim).astype(jnp.float32)[:, None]
+    betas_row = jnp.asarray(betas, jnp.float32).reshape(1, nbridges)
+
+    theta = (
+        jnp.asarray(eps, jnp.float32).reshape(1, 1),
+        jnp.asarray(eta, jnp.float32).reshape(1, 1),
+        md_col,
+        betas_row,
+        mean_col,
+        logdiag_col,
+    )
+    n_theta = len(theta)
+
+    def step_fn(theta, z, rho_prev, xi, j):
+        """(z_new, rho_new, delta) for bridge j — the scan integrator's
+        exact math (integrators/uha.py step), differentiable in
+        (theta, z, rho_prev)."""
+        eps_arr, eta_arr, md_c, betas_r, mean_c, logdiag_c = theta
+        eps0 = eps_arr[0, 0]
+        eta0 = eta_arr[0, 0]
+        inv_var_md = jnp.exp(-2.0 * md_c)
+        exp_md = jnp.exp(md_c)
+
+        lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, nbridges), 1)
+        beta = jnp.sum(betas_r * (lane_idx == j).astype(jnp.float32))
+
+        def grad_u(zz):
+            gt = grad_logp_t(zz)
+            gq = -(zz - mean_c) * jnp.exp(-2.0 * logdiag_c)
+            return -(beta * gt + (1.0 - beta) * gq) * row_mask
+
+        def momentum_quad(r):
+            return jnp.sum(
+                r * r * inv_var_md * row_mask, axis=0, keepdims=True
+            )
+
+        rho = eta0 * rho_prev + jnp.sqrt(1.0 - eta0**2) * (exp_md * xi)
+
+        rho_l = rho - eps0 * grad_u(z) / 2.0
+        z_l = z + eps0 * (rho_l * inv_var_md)
+        for _ in range(lfsteps - 1):
+            rho_l = rho_l - eps0 * grad_u(z_l)
+            z_l = z_l + eps0 * (rho_l * inv_var_md)
+        rho_new = rho_l - eps0 * grad_u(z_l) / 2.0
+
+        delta = -0.5 * (momentum_quad(rho_new) - momentum_quad(rho))
+        return z_l, rho_new, delta
+
+    def point_fn(theta, z, rho_prev, xi, j, g_zn, g_rn, c_row):
+        _, vjp_fn = jax.vjp(
+            lambda th, zz, rr: step_fn(th, zz, rr, xi, j), theta, z, rho_prev
+        )
+        g_theta, g_z, g_rho = vjp_fn((g_zn, g_rn, c_row))
+        return (*g_theta, g_z, g_rho)
+
+    zb = jax.ShapeDtypeStruct((dim_pad, block), jnp.float32)
+    example = (
+        tuple(jax.ShapeDtypeStruct(t.shape, t.dtype) for t in theta),
+        zb, zb, zb,
+        jax.ShapeDtypeStruct((), jnp.int32),
+        zb, zb,
+        jax.ShapeDtypeStruct((1, block), jnp.float32),
+    )
+    point_jaxpr = jax.make_jaxpr(point_fn)(*example)
+    point_consts = point_jaxpr.consts
+
+    def pack_consts(raw):
+        shapes, arrays = [], []
+        for c in raw:
+            c = jnp.asarray(c, jnp.float32 if c.dtype == jnp.float64 else c.dtype)
+            if c.ndim == 0:
+                c = c.reshape(1, 1)
+                shapes.append(("scalar", c.shape))
+            elif c.ndim == 1:
+                c = c.reshape(1, -1)
+                shapes.append(("vec", c.shape))
+            else:
+                shapes.append(("arr", c.shape))
+            arrays.append(c)
+        return shapes, arrays
+
+    const_shapes, const_inputs = pack_consts(point_consts)
+
+    def kernel(*refs):
+        idx = 0
+        ztraj_ref = refs[idx]; idx += 1
+        rtraj_ref = refs[idx]; idx += 1
+        noise_ref = refs[idx]; idx += 1
+        c_ref = refs[idx]; idx += 1
+        gzf_ref = refs[idx]; idx += 1
+        theta_refs = refs[idx : idx + n_theta]; idx += n_theta
+        const_refs = refs[idx : idx + len(const_inputs)]
+        idx += len(const_inputs)
+        out_theta_refs = refs[idx : idx + n_theta]; idx += n_theta
+        gz0_ref = refs[idx]; idx += 1
+
+        pid = pl.program_id(0)
+
+        def unpack(shapes, refs_):
+            vals = []
+            for (kind, shape), ref in zip(shapes, refs_):
+                v = ref[:]
+                if kind == "scalar":
+                    v = v[0, 0]
+                elif kind == "vec":
+                    v = v[0]
+                vals.append(v)
+            return vals
+
+        consts = unpack(const_shapes, const_refs)
+        theta_vals = tuple(r[:] for r in theta_refs)
+        c_row = c_ref[0:1, :]
+
+        def body(t, carry):
+            g_z, g_rho, acc = carry
+            j = nbridges - 1 - t
+            z = ztraj_ref[j]
+            rho_prev = rtraj_ref[j]
+            xi = noise_ref[j + 1]
+            flat_in = list(theta_vals) + [
+                z, rho_prev, xi, j, g_z, g_rho, c_row
+            ]
+            out = jax.core.eval_jaxpr(point_jaxpr.jaxpr, consts, *flat_in)
+            g_theta = tuple(out[:n_theta])
+            g_z, g_rho = out[n_theta], out[n_theta + 1]
+            acc = tuple(a + g for a, g in zip(acc, g_theta))
+            return (g_z, g_rho, acc)
+
+        # UHA has no endpoint momentum corrections: the final momentum
+        # cotangent starts at zero.
+        acc0 = tuple(jnp.zeros(t.shape, jnp.float32) for t in theta_vals)
+        g_z0, g_rho0, acc = jax.lax.fori_loop(
+            0, nbridges, body,
+            (gzf_ref[:], jnp.zeros((dim_pad, block), jnp.float32), acc0),
+        )
+        gz0_ref[:] = g_z0
+
+        # rho_0 = e^{md} * xi_0 is theta-dependent: d rho_0 / d md = rho_0
+        # elementwise, so the md gradient picks up sum_n g_rho0 * rho_0.
+        acc = list(acc)
+        acc[2] = acc[2] + jnp.sum(
+            g_rho0 * rtraj_ref[0], axis=1, keepdims=True
+        )
+
+        first = pid == 0
+        for o_ref, g in zip(out_theta_refs, acc):
+            @pl.when(first)
+            def _init(o_ref=o_ref, g=g):
+                o_ref[:] = g
+
+            @pl.when(jnp.logical_not(first))
+            def _acc(o_ref=o_ref, g=g):
+                o_ref[:] = o_ref[:] + g
+
+    traj_spec = pl.BlockSpec(
+        (nbridges + 1, dim_pad, block),
+        lambda i: (0, 0, i),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        traj_spec,
+        traj_spec,
+        traj_spec,
+        pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+    ]
+    inputs = [ztraj_t, rtraj_t, noise_t, cot_rows, gzf_t]
+    for t in theta:
+        in_specs.append(
+            pl.BlockSpec(
+                t.shape, lambda i, nd=t.ndim: (0,) * nd,
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(t)
+    for c in const_inputs:
+        in_specs.append(
+            pl.BlockSpec(
+                c.shape, lambda i, nd=c.ndim: (0,) * nd,
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(c)
+
+    out_specs = [
+        pl.BlockSpec(
+            t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM
+        )
+        for t in theta
+    ]
+    out_shape = [jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta]
+    out_specs.append(
+        pl.BlockSpec(
+            (dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+    )
+    out_shape.append(jax.ShapeDtypeStruct((dim_pad, n_pad), jnp.float32))
+
+    kwargs = {}
+    if not interpret:
+        import math
+
+        need = sum(math.prod(x.shape) * x.dtype.itemsize for x in inputs)
+        need += sum(4 * math.prod(s.shape) for s in out_shape)
+        if need > 14 * 1024 * 1024:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=min(2 * need, 120 * 1024 * 1024)
+            )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nchunks,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        **kwargs,
+    )(*inputs)
+
+    g_eps, g_eta, g_md, g_betas, g_mean, g_logdiag = outs[:6]
+    grads = {
+        "eps": g_eps[0, 0],
+        "eta": g_eta[0, 0],
+        "md": g_md[:dim, 0],
+        "betas": g_betas[0],
+        "vd_mean": g_mean[:dim, 0],
+        "vd_logdiag": g_logdiag[:dim, 0],
+    }
     g_z0 = outs[n_theta][:dim, :n_chains].T
     return grads, g_z0

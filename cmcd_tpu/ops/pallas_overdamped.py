@@ -109,6 +109,7 @@ def evolve_overdamped_pallas(
     nbridges: int,
     sn_weights=None,
     sn_meta=None,
+    sn2_weights=None,
     eps_schedule: str = "",
     grad_clipping: bool = False,
     seed=0,
@@ -192,10 +193,17 @@ def evolve_overdamped_pallas(
     # net call at (z_new, i+1) is IDENTICAL to the next step's forward call,
     # so the net output is computed once per new point and carried between
     # steps — halves the score-net matmuls (reference evaluates it twice,
-    # src/mcd_cais.py:61,78).
+    # src/mcd_cais.py:61,78). Not applicable to DNF, whose backward uses a
+    # DIFFERENT net (sn2).
     carry_sn = bool(
-        use_sn and spec.fwd_sn and spec.bwd_sn and spec.bwd_sn_offset == 1
+        use_sn
+        and spec.fwd_sn
+        and spec.bwd_sn
+        and spec.bwd_sn_offset == 1
+        and not spec.use_sn2_bwd
     )
+    if spec.use_sn2_bwd:
+        assert sn2_weights is not None, "DNF needs the second net's weights"
 
     # MXU pass-packing: a small matmul costs the full column bandwidth
     # regardless of its row/contraction size, so when the target score
@@ -235,13 +243,14 @@ def evolve_overdamped_pallas(
         )
 
     # ---- step math (closure-converted so constants become inputs) -------
-    def sn_apply(z, i, factor):
+    def sn_apply(z, i, factor, weights=None):
+        weights = sn_weights if weights is None else weights
         onehot = (
             jax.lax.broadcasted_iota(jnp.int32, (sn_nbridges, 1), 0)
             == jnp.clip(i, 0, sn_nbridges - 1)
         ).astype(jnp.float32)
         emb_col = jnp.dot(
-            sn_weights["emb_t"], onehot, preferred_element_type=jnp.float32
+            weights["emb_t"], onehot, preferred_element_type=jnp.float32
         )
         # Build h0 = [z[:dim]; emb broadcast] by concatenation (VPU) instead
         # of the two selector matmuls — each matmul costs B MXU cycles
@@ -254,11 +263,11 @@ def evolve_overdamped_pallas(
                 [h, jnp.zeros((in_dim - dim - emb_dim, z.shape[1]), z.dtype)],
                 axis=0,
             )
-        for w_t, b_col in sn_weights["layers"]:
+        for w_t, b_col in weights["layers"]:
             h = h + jax.nn.softplus(
                 jnp.dot(w_t, h, preferred_element_type=jnp.float32) + b_col
             )
-        head_w, head_b = sn_weights["head"]
+        head_w, head_b = weights["head"]
         out = jnp.dot(head_w, h, preferred_element_type=jnp.float32) + head_b
         return out * factor
 
@@ -316,6 +325,8 @@ def evolve_overdamped_pallas(
 
     def grad_u_from(gt, z, beta):
         """Annealed drift from a precomputed raw target score gt."""
+        if spec.zero_drift:
+            return jnp.zeros_like(z)
         gq = -(z - mean_t) * inv_var_t
         if clip_t is not None:
             gt = jnp.clip(gt, -clip_t, clip_t)
@@ -351,9 +362,22 @@ def evolve_overdamped_pallas(
         if fuse_point:
             gt_new, sn_new = point_eval(z_new, i + spec.bwd_sn_offset, factor)
         else:
-            gt_new = grad_logp_t(z_new)
+            gt_new = (
+                jnp.zeros_like(z_new) if spec.zero_drift
+                else grad_logp_t(z_new)
+            )
             if spec.bwd_sn:
-                sn_new = sn_apply(z_new, i + spec.bwd_sn_offset, factor)
+                if spec.use_sn2_bwd:
+                    # DNF: the backward mean uses the SECOND net (with its
+                    # own factor), reference src/vi_dnf.py.
+                    sn_new = sn_apply(
+                        z_new,
+                        i + spec.bwd_sn_offset,
+                        sn2_weights["factor_sn"],
+                        weights=sn2_weights,
+                    )
+                else:
+                    sn_new = sn_apply(z_new, i + spec.bwd_sn_offset, factor)
         bk_mean = z_new - eps_i * grad_u_from(gt_new, z_new, beta)
         if spec.bwd_sn:
             bk_mean = bk_mean + eps_i * sn_new
@@ -394,7 +418,7 @@ def evolve_overdamped_pallas(
     def init_fn(z, factor):
         if fuse_point:
             return point_eval(z, 0, factor)
-        gt0 = grad_logp_t(z)
+        gt0 = jnp.zeros_like(z) if spec.zero_drift else grad_logp_t(z)
         sn0 = sn_apply(z, 0, factor) if carry_sn else jnp.zeros_like(z)
         return gt0, sn0
 

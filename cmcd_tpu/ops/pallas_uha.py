@@ -40,6 +40,7 @@ def evolve_uha_pallas(
     seed=0,
     block: int = 512,
     noise: Optional[jnp.ndarray] = None,
+    return_state_t: bool = False,
     interpret: bool = False,
 ):
     """Run nbridges UHA bridges fused on-core. z0: (N, dim).
@@ -47,6 +48,12 @@ def evolve_uha_pallas(
     noise: optional (nbridges + 1, N, dim) — noise[0] the initial momentum
     base draw, noise[1:] per-bridge refresh draws.
     Returns (z_final (N, dim), w_delta (N,)).
+
+    return_state_t: additionally return (z_traj_t, rho_traj_t, noise_out_t),
+    each (nbridges + 1, dim_pad, n_pad) raw transposed — entry j the state
+    BEFORE bridge j (entry K final); noise index 0 the initial momentum BASE
+    draw, i + 1 the bridge-i refresh. Residuals for the UHA BPTT
+    reverse-sweep backward (ops/pallas_kl.py).
     """
     n, d = z0.shape
     assert d == dim
@@ -161,6 +168,11 @@ def evolve_uha_pallas(
         idx += len(const_inputs)
         out_z_ref = refs[idx]; idx += 1
         out_w_ref = refs[idx]; idx += 1
+        ztraj_ref = rtraj_ref = nout_ref = None
+        if return_state_t:
+            ztraj_ref = refs[idx]; idx += 1
+            rtraj_ref = refs[idx]; idx += 1
+            nout_ref = refs[idx]; idx += 1
 
         eps0 = scal_ref[0, 0]
         eta0 = scal_ref[0, 1]
@@ -188,6 +200,8 @@ def evolve_uha_pallas(
             base0 = _box_muller((dim_pad, block)) * row_mask_k
         rho = expmd_ref[:] * base0
         w = z[0:1, :] * 0.0
+        if return_state_t:
+            nout_ref[0] = base0
 
         def body(i, carry):
             z, rho, w = carry
@@ -196,9 +210,16 @@ def evolve_uha_pallas(
                 xi = noise_ref[i + 1]
             else:
                 xi = _box_muller((dim_pad, block)) * row_mask_k
+            if return_state_t:
+                ztraj_ref[i] = z
+                rtraj_ref[i] = rho
+                nout_ref[i + 1] = xi
             return step_conv(z, rho, w, xi, i, beta, eps0, eta0, *consts)
 
         z, rho, w = jax.lax.fori_loop(0, nbridges, body, (z, rho, w))
+        if return_state_t:
+            ztraj_ref[nbridges] = z
+            rtraj_ref[nbridges] = rho
         out_z_ref[:] = z
         out_w_ref[:] = jnp.broadcast_to(w, (8, block))
 
@@ -227,21 +248,54 @@ def evolve_uha_pallas(
         )
         inputs.append(c)
 
-    out_z_t, out_w = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((dim_pad, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+    ]
+    if return_state_t:
+        for _ in range(3):
+            out_specs.append(
+                pl.BlockSpec(
+                    (nbridges + 1, dim_pad, block),
+                    lambda i: (0, 0, i),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            out_shape.append(
+                jax.ShapeDtypeStruct(
+                    (nbridges + 1, dim_pad, n_pad), jnp.float32
+                )
+            )
+
+    kwargs = {}
+    if not interpret:
+        import math
+
+        need = sum(math.prod(x.shape) * x.dtype.itemsize for x in inputs)
+        need += sum(4 * math.prod(sh.shape) for sh in out_shape)
+        need += 10 * dim_pad * block * 4
+        if need > 14 * 1024 * 1024:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=min(2 * need, 120 * 1024 * 1024)
+            )
+
+    outs = pl.pallas_call(
         kernel,
         grid=(nblocks,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((dim_pad, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=(
             pltpu.InterpretParams() if (interpret and not inject_noise) else interpret
         ),
+        **kwargs,
     )(*inputs)
 
+    out_z_t, out_w = outs[0], outs[1]
+    if return_state_t:
+        return out_z_t[:dim, :n].T, out_w[0, :n], outs[2], outs[3], outs[4]
     return out_z_t[:dim, :n].T, out_w[0, :n]

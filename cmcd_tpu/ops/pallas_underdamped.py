@@ -78,6 +78,7 @@ def evolve_underdamped_pallas(
     seed=0,
     block: int = 512,
     noise: Optional[jnp.ndarray] = None,
+    return_state_t: bool = False,
     interpret: bool = False,
 ):
     """Run nbridges underdamped leapfrog steps fused on-core.
@@ -88,6 +89,14 @@ def evolve_underdamped_pallas(
     nbridges for the initial draw, so callers build this accordingly).
     Returns (z_final (N, dim), w_delta (N,)) with the endpoint momentum
     corrections included.
+
+    return_state_t: additionally return (z_traj_t, rho_traj_t, noise_out_t)
+    in the raw transposed layout — z/rho trajectories as
+    (nbridges + 1, dim_pad, n_pad) (entry j is the state BEFORE step j;
+    entry K the final state) and the noise draws as
+    (nbridges + 1, dim_pad, n_pad) in the injected-noise layout (index 0 the
+    initial momentum, i + 1 the step-i refresh). The residuals of the
+    underdamped BPTT reverse-sweep backward kernel (ops/pallas_kl.py).
     """
     n, d = z0.shape
     assert d == dim
@@ -276,6 +285,11 @@ def evolve_underdamped_pallas(
         idx += len(const_inputs)
         out_z_ref = refs[idx]; idx += 1
         out_w_ref = refs[idx]; idx += 1
+        ztraj_ref = rtraj_ref = nout_ref = None
+        if return_state_t:
+            ztraj_ref = refs[idx]; idx += 1
+            rtraj_ref = refs[idx]; idx += 1
+            nout_ref = refs[idx]; idx += 1
 
         eps0 = scal_ref[0, 0]
         factor = scal_ref[0, 1]
@@ -310,6 +324,9 @@ def evolve_underdamped_pallas(
             0.5 * dim * LOG_2PI
         )
 
+        if return_state_t:
+            nout_ref[0] = rho
+
         def body(i, carry):
             z, rho, w = carry
             beta = betas_ref[0, i]
@@ -317,11 +334,18 @@ def evolve_underdamped_pallas(
                 xi = noise_ref[i + 1]
             else:
                 xi = _box_muller((dim_pad, block)) * row_mask_k
+            if return_state_t:
+                ztraj_ref[i] = z
+                rtraj_ref[i] = rho
+                nout_ref[i + 1] = xi
             return step_conv(
                 z, rho, w, xi, i, beta, eps0, factor, gamma_v, eta_v, *consts
             )
 
         z, rho, w = jax.lax.fori_loop(0, nbridges, body, (z, rho, w))
+        if return_state_t:
+            ztraj_ref[nbridges] = z
+            rtraj_ref[nbridges] = rho
         # Final momentum correction: w += log N(rho_K; 0, I).
         w = w - 0.5 * jnp.sum(rho * rho * row_mask_k, axis=0, keepdims=True) - (
             0.5 * dim * LOG_2PI
@@ -353,21 +377,52 @@ def evolve_underdamped_pallas(
         )
         inputs.append(c)
 
-    out_z_t, out_w = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((dim_pad, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+    ]
+    if return_state_t:
+        for _ in range(3):  # z traj, rho traj, noise draws
+            out_specs.append(
+                pl.BlockSpec(
+                    (nbridges + 1, dim_pad, block),
+                    lambda i: (0, 0, i),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            out_shape.append(
+                jax.ShapeDtypeStruct(
+                    (nbridges + 1, dim_pad, n_pad), jnp.float32
+                )
+            )
+
+    kwargs = {}
+    if not interpret:
+        need = sum(math.prod(x.shape) * x.dtype.itemsize for x in inputs)
+        need += sum(4 * math.prod(s.shape) for s in out_shape)
+        need += 10 * dim_pad * block * 4
+        if need > 14 * 1024 * 1024:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=min(2 * need, 120 * 1024 * 1024)
+            )
+
+    outs = pl.pallas_call(
         kernel,
         grid=(nblocks,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((dim_pad, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=(
             pltpu.InterpretParams() if (interpret and not inject_noise) else interpret
         ),
+        **kwargs,
     )(*inputs)
 
+    out_z_t, out_w = outs[0], outs[1]
+    if return_state_t:
+        return out_z_t[:dim, :n].T, out_w[0, :n], outs[2], outs[3], outs[4]
     return out_z_t[:dim, :n].T, out_w[0, :n]

@@ -350,3 +350,48 @@ def test_lgcp_fused_eval_matches_scan_interpret():
     onp.testing.assert_allclose(
         onp.asarray(ne_f), onp.asarray(ne_s), rtol=2e-4, atol=0.2
     )
+
+
+def test_pallas_dnf_forward_matches_scan():
+    """MCD_DNF (zero annealed drift, second net in the backward kernel —
+    shipped broken in the reference, working here) on the fused kernel must
+    match the scan integrator under shared noise."""
+    nb, n = 6, 256
+    target = cmcd_tpu.load_target("gmm")
+    dim = target.dim
+    init_sn, apply_sn = build_geffner_network(dim, 16, nb)
+    sn = {**init_sn(jax.random.PRNGKey(1)), "factor_sn": jnp.asarray(0.3)}
+    sn2 = {**init_sn(jax.random.PRNGKey(5)), "factor_sn": jnp.asarray(0.2)}
+    vd = {"mean": jnp.zeros(dim), "logdiag": jnp.ones(dim) * jnp.log(3.0)}
+    params = {"vd": vd, "eps": jnp.asarray(0.1), "sn": sn, "sn2": sn2}
+    from cmcd_tpu.schedules import betas_from_grid, make_beta_grid_params
+
+    mg, gx, tx = make_beta_grid_params(nb)
+    betas = betas_from_grid(mg, gx, tx)
+    ctx = IntegratorContext(
+        target_log_prob=target.log_prob, nbridges=nb, dim=dim,
+        apply_sn=apply_sn, apply_sn2=apply_sn,
+    )
+    key = jax.random.PRNGKey(0)
+    z0 = vd["mean"] + jnp.exp(vd["logdiag"]) * jax.random.normal(key, (n, dim))
+    noise = jax.random.normal(jax.random.PRNGKey(2), (nb, n, dim))
+
+    z_scan, w_scan, _ = od.evolve_overdamped(
+        key, z0, betas, params, ctx, od.DNF, noise=noise
+    )
+
+    dim_pad = max(8, ((dim + 7) // 8) * 8)
+    weights, meta = pack_geffner_t(sn, dim, dim_pad)
+    weights2, _ = pack_geffner_t(sn2, dim, dim_pad)
+    z_pal, w_pal = evolve_overdamped_pallas(
+        z0, jnp.zeros(n), betas, params["eps"],
+        vd["mean"], vd["logdiag"], None, od.DNF,
+        dim=dim, nbridges=nb, sn_weights=weights, sn_meta=meta,
+        sn2_weights=weights2, noise=noise, block=128, interpret=True,
+    )
+    onp.testing.assert_allclose(
+        onp.asarray(z_scan), onp.asarray(z_pal), atol=2e-4, rtol=1e-4
+    )
+    onp.testing.assert_allclose(
+        onp.asarray(w_scan), onp.asarray(w_pal), atol=5e-4, rtol=1e-4
+    )

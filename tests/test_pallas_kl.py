@@ -16,7 +16,12 @@ from cmcd_tpu.integrators import overdamped as od
 from cmcd_tpu.ops.fused_train import kl_bound_pallas
 from cmcd_tpu.schedules import betas_from_grid
 
-_SPECS = {"MCD_ULA": od.ULA, "MCD_ULA_sn": od.ULA_SN, "MCD_CAIS_sn": od.CAIS}
+_SPECS = {
+    "MCD_ULA": od.ULA,
+    "MCD_ULA_sn": od.ULA_SN,
+    "MCD_CAIS_sn": od.CAIS,
+    "MCD_DNF": od.DNF,
+}
 
 
 def make_case(target_name, mode, nb, n, eps_schedule="", eps=0.1,
@@ -62,6 +67,7 @@ def scan_kl_loss_fn(params, ctx, key, n, noise, spec):
         ("funnel", "MCD_CAIS_sn", "cos_sq"),
         ("many_gmm", "MCD_ULA_sn", ""),
         ("gmm", "MCD_ULA", ""),
+        ("gmm", "MCD_DNF", ""),
     ],
 )
 def test_pallas_kl_grad_matches_scan(target_name, mode, eps_schedule):
@@ -112,4 +118,118 @@ def test_pallas_kl_neg_elbos_match_scan():
     )
     onp.testing.assert_allclose(
         onp.asarray(neg_scan), onp.asarray(neg_pal), atol=5e-4, rtol=1e-4
+    )
+
+
+def scan_kl_loss_fn_ud(params, ctx, key, n, noise, spec):
+    from cmcd_tpu.integrators import underdamped as ud
+
+    def scan_loss(train):
+        p = bounds.merged_params({"train": train, "notrain": params["notrain"]})
+        z_key, evolve_key = jax.random.split(key)
+        z = diag_gaussian_sample(z_key, p["vd"], n)
+        w = -diag_gaussian_log_prob(p["vd"], z)
+        betas = betas_from_grid(p["mgridref_y"], p["gridref_x"], p["target_x"])
+        z, wd, _ = ud.evolve_underdamped(
+            evolve_key, z, betas, p, ctx, spec, noise=noise
+        )
+        w = w + wd + ctx.target_log_prob(z)
+        return jnp.mean(-w)
+
+    return scan_loss
+
+
+@pytest.mark.parametrize(
+    "mode",
+    [
+        "MCD_U_a-lp",
+        "MCD_U_a-lp-sn",
+        "MCD_U_e-lp-sna",
+        "MCD_U_ea-lp-sn",
+        "MCD_CAIS_UHA_sn",
+    ],
+)
+def test_pallas_kl_underdamped_grad_matches_scan(mode):
+    from cmcd_tpu.ops.fused import _PALLAS_UD_SPECS
+
+    n, nb = 96, 4
+    target = cmcd_tpu.load_target("many_gmm")
+    setup = bounds.CMCDSetup(
+        mode=mode, dim=target.dim, nbridges=nb, emb_dim=16,
+    )
+    trainable = bounds.default_trainable(setup.mode, train_vi=True,
+                                         train_eps=True)
+    params, ctx = bounds.initialize(
+        setup, target.log_prob, eps=0.05, init_sigma=8.0, gamma=5.0,
+        eta=0.5, trainable=trainable,
+    )
+    if "sn" in params["train"]:
+        params["train"]["sn"]["factor_sn"] = jnp.asarray(0.3)
+    key = jax.random.PRNGKey(0)
+    noise = jax.random.normal(jax.random.PRNGKey(2), (nb + 1, n, target.dim))
+    spec, _ = _PALLAS_UD_SPECS[mode]
+
+    def pallas_loss(train):
+        return kl_bound_pallas(
+            {"train": train, "notrain": params["notrain"]}, key, n, ctx,
+            setup, target, block=128, noise=noise, interpret=True,
+        )[0]
+
+    l1, g1 = jax.value_and_grad(
+        scan_kl_loss_fn_ud(params, ctx, key, n, noise, spec)
+    )(params["train"])
+    l2, g2 = jax.value_and_grad(pallas_loss)(params["train"])
+    onp.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+    f1, _ = jax.flatten_util.ravel_pytree(g1)
+    f2, _ = jax.flatten_util.ravel_pytree(g2)
+    scale = float(jnp.linalg.norm(f1))
+    assert float(jnp.linalg.norm(f1 - f2)) < 2e-4 * scale + 1e-4, (
+        float(jnp.linalg.norm(f1 - f2)),
+        scale,
+    )
+
+
+@pytest.mark.parametrize("lfsteps", [1, 2])
+def test_pallas_kl_uha_grad_matches_scan(lfsteps):
+    from cmcd_tpu.integrators import uha
+
+    n, nb = 96, 4
+    target = cmcd_tpu.load_target("gmm")
+    setup = bounds.CMCDSetup(
+        mode="UHA", dim=target.dim, nbridges=nb, lfsteps=lfsteps,
+    )
+    trainable = bounds.default_trainable(setup.mode, train_vi=True,
+                                         train_eps=True)
+    params, ctx = bounds.initialize(
+        setup, target.log_prob, eps=0.05, init_sigma=5.0, eta=0.5,
+        trainable=trainable,
+    )
+    key = jax.random.PRNGKey(0)
+    noise = jax.random.normal(jax.random.PRNGKey(2), (nb + 1, n, target.dim))
+
+    def scan_loss(train):
+        p = bounds.merged_params({"train": train, "notrain": params["notrain"]})
+        z_key, evolve_key = jax.random.split(key)
+        z = diag_gaussian_sample(z_key, p["vd"], n)
+        w = -diag_gaussian_log_prob(p["vd"], z)
+        betas = betas_from_grid(p["mgridref_y"], p["gridref_x"], p["target_x"])
+        z, wd, _ = uha.evolve_uha(evolve_key, z, betas, p, ctx, noise=noise)
+        w = w + wd + ctx.target_log_prob(z)
+        return jnp.mean(-w)
+
+    def pallas_loss(train):
+        return kl_bound_pallas(
+            {"train": train, "notrain": params["notrain"]}, key, n, ctx,
+            setup, target, block=128, noise=noise, interpret=True,
+        )[0]
+
+    l1, g1 = jax.value_and_grad(scan_loss)(params["train"])
+    l2, g2 = jax.value_and_grad(pallas_loss)(params["train"])
+    onp.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+    f1, _ = jax.flatten_util.ravel_pytree(g1)
+    f2, _ = jax.flatten_util.ravel_pytree(g2)
+    scale = float(jnp.linalg.norm(f1))
+    assert float(jnp.linalg.norm(f1 - f2)) < 2e-4 * scale + 1e-4, (
+        float(jnp.linalg.norm(f1 - f2)),
+        scale,
     )
