@@ -285,6 +285,19 @@ def run_experiment(config, logger: MetricLogger | None = None):
         )
         logger.log(w2)
         results.update(w2)
+        # EMA-branch W2 too (reference main.py:263-272).
+        if config.use_ema and result.ema_params is not None:
+            w2_ema = calculate_w2_distances(
+                out_ema["samples"],
+                target_samples,
+                other,
+                config.n_samples,
+                config.n_input_dist_seeds,
+                min(config.n_sinkhorn, config.n_samples),
+            )
+            w2_ema = {k + "_ema": v for k, v in w2_ema.items()}
+            logger.log(w2_ema)
+            results.update(w2_ema)
 
     # ---- Final NICE image grid (reference main.py:274-282) ----------------
     if config.model == "nice" and config.plot_dir:

@@ -76,3 +76,15 @@ def test_run_experiment_plots_and_checkpoints(tmp_path):
     )
     assert 10 in steps or 20 in steps
     assert 25 in steps
+
+
+def test_run_experiment_ema_w2(tmp_path):
+    """EMA evaluation + EMA-branch W2 (reference main.py:263-272)."""
+    from cmcd_tpu.main import run_experiment
+
+    results = run_experiment(tiny_config(use_ema=True))
+    assert "final_elbo_ema" in results
+    assert "w2_dist" in results and "w2_dist_ema" in results
+    import math
+
+    assert math.isfinite(results["w2_dist_ema"])
