@@ -90,6 +90,21 @@ def _vmem_estimate(setup: bounds.CMCDSetup, target, block: int) -> int:
     return state + sn_bytes + const_bytes
 
 
+def _arch_supported(setup: bounds.CMCDSetup) -> bool:
+    """Which (mode, nn_arch) pairs the kernels implement: geffner
+    everywhere a net is used; PISNet ("dds") for the overdamped single-net
+    modes (ops/pallas_nets.py)."""
+    if setup.mode in _SN_FREE_MODES:
+        return True
+    if setup.nn_arch == "geffner":
+        return True
+    return (
+        setup.nn_arch == "dds"
+        and setup.mode in _PALLAS_SPECS
+        and not _PALLAS_SPECS[setup.mode].use_sn2_bwd
+    )
+
+
 def supports_fused(setup: bounds.CMCDSetup, target) -> bool:
     """True if (mode, target, net arch) can run on a fused kernel."""
     if (
@@ -98,7 +113,7 @@ def supports_fused(setup: bounds.CMCDSetup, target) -> bool:
         and setup.mode != "UHA"
     ):
         return False
-    if setup.nn_arch != "geffner" and setup.mode not in _SN_FREE_MODES:
+    if not _arch_supported(setup):
         return False
     # DNF has zero annealed drift — the target score never enters the
     # kernel, so no transposed gradient is needed.
@@ -135,8 +150,13 @@ def supports_fused_train(setup: bounds.CMCDSetup, target) -> bool:
 
     if setup.mode != "MCD_CAIS_var_sn" and setup.mode not in KL_FUSED_MODES:
         return False
-    uses_net = setup.mode not in _SN_FREE_MODES
-    if uses_net and setup.nn_arch != "geffner":
+    if setup.mode == "MCD_CAIS_var_sn":
+        # The VarGrad backward kernels are geffner-specific.
+        if setup.nn_arch != "geffner":
+            return False
+    elif not _arch_supported(setup) or (
+        setup.nn_arch != "geffner" and setup.mode not in _PALLAS_SPECS
+    ):
         return False
     if (
         setup.mode != "MCD_DNF"  # zero drift: no target score in the kernel
@@ -185,7 +205,12 @@ def compute_elbos_fused(
         spec = _PALLAS_SPECS[setup.mode]
         use_sn = spec.fwd_sn or spec.bwd_sn
         if use_sn:
-            sn_weights, sn_meta = pack_geffner_t(p["sn"], dim, dim_pad)
+            if setup.nn_arch == "dds":
+                from cmcd_tpu.ops.pallas_nets import pack_pis_t
+
+                sn_weights, sn_meta = pack_pis_t(p["sn"], dim, dim_pad)
+            else:
+                sn_weights, sn_meta = pack_geffner_t(p["sn"], dim, dim_pad)
         else:
             sn_weights = sn_meta = None
         sn2_weights = None

@@ -247,7 +247,12 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec):
     def _pack(theta):
         sn_w = sn_m = sn2_w = None
         if use_sn:
-            sn_w, sn_m = pack_geffner_t(theta["sn"], dim, dim_pad)
+            if setup.nn_arch == "dds":
+                from cmcd_tpu.ops.pallas_nets import pack_pis_t
+
+                sn_w, sn_m = pack_pis_t(theta["sn"], dim, dim_pad)
+            else:
+                sn_w, sn_m = pack_geffner_t(theta["sn"], dim, dim_pad)
         if spec.use_sn2_bwd:
             sn2_w, _ = pack_geffner_t(theta["sn2"], dim, dim_pad)
         return sn_w, sn_m, sn2_w
@@ -336,9 +341,10 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec):
         for k in ("sn", "sn2"):
             if k in grads:
                 g_theta[k] = grads[k]
-                g_theta[k]["factor_sn"] = jnp.reshape(
-                    g_theta[k]["factor_sn"], theta[k]["factor_sn"].shape
-                )
+                if "factor_sn" in g_theta[k]:  # geffner nets only
+                    g_theta[k]["factor_sn"] = jnp.reshape(
+                        g_theta[k]["factor_sn"], theta[k]["factor_sn"].shape
+                    )
         g_noise = None if noise is None else jnp.zeros_like(noise)
         return g_theta, g_z0, None, g_noise
 

@@ -85,10 +85,17 @@ def evolve_kl_bwd_pallas(
     nchunks = n_pad // block
 
     use_sn = spec.fwd_sn or spec.bwd_sn
+    arch = "geffner"
     if use_sn:
-        emb_dim = sn_meta["emb_dim"]
+        arch = sn_meta.get("arch", "geffner")
         in_dim = sn_meta["in_dim"]
-        sn_nbridges = sn_meta["nbridges"]
+        if arch == "geffner":
+            emb_dim = sn_meta["emb_dim"]
+            sn_nbridges = sn_meta["nbridges"]
+        else:
+            channels = sn_meta["channels"]
+            n_state = len(sn_weights["state"])
+            assert not spec.use_sn2_bwd, "DNF + PIS nets not supported fused"
 
     cot_rows = jnp.zeros((8, n_pad), jnp.float32).at[0, :n_chains].set(cot)
     gzf_t = (
@@ -107,6 +114,10 @@ def evolve_kl_bwd_pallas(
     clip_q = spec.clip_vd if grad_clipping else None
 
     def _net_theta(weights):
+        if arch == "pis":
+            from cmcd_tpu.ops.pallas_nets import pis_theta
+
+            return pis_theta(weights)
         layer_ws = [w_t for (w_t, _) in weights["layers"]]
         layer_bs = [b_col for (_, b_col) in weights["layers"]]
         head_w, head_b = weights["head"]
@@ -121,7 +132,7 @@ def evolve_kl_bwd_pallas(
 
     if use_sn:
         sn_theta = _net_theta(sn_weights)
-        n_layers = len(sn_weights["layers"])
+        n_layers = len(sn_weights["layers"]) if arch == "geffner" else 0
     else:
         sn_theta = ()
         n_layers = 0
@@ -151,6 +162,12 @@ def evolve_kl_bwd_pallas(
     log_2pi = 1.8378770664093453
 
     def sn_apply(th, z, i):
+        if arch == "pis":
+            from cmcd_tpu.ops.pallas_nets import pis_apply_theta
+
+            return pis_apply_theta(
+                th, z, i, dim, channels, n_state, sn_weights["coeff"]
+            )
         factor_arr, emb_t, head_w, head_b = th[:4]
         ws = th[4 : 4 + n_layers]
         bs = th[4 + n_layers : 4 + 2 * n_layers]
@@ -412,7 +429,12 @@ def evolve_kl_bwd_pallas(
         }
 
     if use_sn:
-        grads["sn"] = _unpack_net(4)
+        if arch == "pis":
+            from cmcd_tpu.ops.pallas_nets import pis_grads_unpack
+
+            grads["sn"] = pis_grads_unpack(outs, 4, dim, n_state)
+        else:
+            grads["sn"] = _unpack_net(4)
     if spec.use_sn2_bwd:
         grads["sn2"] = _unpack_net(4 + n_sn)
     g_z0 = outs[n_theta][:dim, :n_chains].T

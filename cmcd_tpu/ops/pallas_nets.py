@@ -1,0 +1,144 @@
+"""Kernel-side score-network applies beyond the geffner default.
+
+PISNet ("dds", networks/pis.py, reference src/nn_dds.py:91-192) support for
+the fused kernels: transposed/padded weight packing, a (dim_pad, B)-layout
+apply, and the theta-tuple plumbing the KL reverse-sweep backward needs to
+emit per-parameter gradients.
+
+Mosaic has no erf primitive, so the exact erf-gelu is evaluated with the
+Abramowitz & Stegun 7.1.26 rational approximation (|err| <= 1.5e-7 — below
+the 1e-4 equivalence tolerances the kernel tests use; the scan path keeps
+jax.scipy.special.erf).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_A1 = 0.254829592
+_A2 = -0.284496736
+_A3 = 1.421413741
+_A4 = -1.453152027
+_A5 = 1.061405429
+_P = 0.3275911
+
+
+def erf_t(x):
+    """A&S 7.1.26 erf approximation (Mosaic-lowerable: exp + rationals)."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + _P * a)
+    poly = t * (_A1 + t * (_A2 + t * (_A3 + t * (_A4 + t * _A5))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def gelu_t(x):
+    """Exact-form gelu with the in-kernel erf (reference src/nn_dds.py:167)."""
+    return x * 0.5 * (1.0 + erf_t(x * 0.7071067811865476))
+
+
+def pack_pis_t(sn_params, dim: int, dim_pad: int):
+    """Transpose/pad PISNet params (networks/pis.py) for (in, B) applies.
+
+    Returns (weights, meta). weights:
+      {"phase": (channels, 1), "tc": [(W_T, b_col)] * 2,
+       "state": [(W_T, b_col), ...] with the LAST (output) layer's W_T/b
+       padded to dim_pad rows, "factor_sn": 1.0 (API parity with geffner)}.
+    """
+    channels = sn_params["timestep_phase"].shape[0]
+    tc = [
+        (l["w"].T, l["b"][:, None]) for l in sn_params["time_coder"]
+    ]
+    state = [
+        (l["w"].T, l["b"][:, None]) for l in sn_params["state_net"][:-1]
+    ]
+    out = sn_params["state_net"][-1]
+    out_w = jnp.zeros((dim_pad, out["w"].shape[0])).at[:dim].set(out["w"].T)
+    out_b = jnp.zeros((dim_pad, 1)).at[:dim].set(out["b"][:, None])
+    state.append((out_w, out_b))
+    weights = {
+        "phase": sn_params["timestep_phase"][:, None],
+        # Host-computed column (Mosaic iota is integer-only): becomes a
+        # closure-converted kernel constant, NOT a theta entry.
+        "coeff": jnp.linspace(0.1, 100.0, channels)[:, None],
+        "tc": tc,
+        "state": state,
+        "factor_sn": 1.0,
+    }
+    meta = {
+        "arch": "pis",
+        "channels": channels,
+        "in_dim": sn_params["state_net"][0]["w"].shape[0] - channels,
+        "nbridges": 0,  # PIS embeds continuous time; no table to clamp
+    }
+    return weights, meta
+
+
+def pis_apply_t(weights, z, i, dim: int, channels: int):
+    """PISNet forward in the transposed layout: z (dim_pad, B) -> (dim_pad, B).
+
+    Mirrors networks/pis.py apply_fn exactly (time features are column
+    vectors — z-independent, so their cost is ~zero per chain column).
+    """
+    t = jnp.asarray(i).astype(jnp.float32)
+    arg = weights["coeff"] * t + weights["phase"]
+    emb = jnp.concatenate([jnp.sin(arg), jnp.cos(arg)], axis=0)  # (2c, 1)
+    (w1, b1), (w2, b2) = weights["tc"]
+    h_t = jnp.dot(w1, emb, preferred_element_type=jnp.float32) + b1
+    h_t = gelu_t(h_t)
+    h_t = jnp.dot(w2, h_t, preferred_element_type=jnp.float32) + b2  # (c, 1)
+
+    b_cols = z.shape[1]
+    h = jnp.concatenate(
+        [z[:dim], jnp.broadcast_to(h_t, (channels, b_cols))], axis=0
+    )
+    for w_t, b_col in weights["state"][:-1]:
+        h = gelu_t(jnp.dot(w_t, h, preferred_element_type=jnp.float32) + b_col)
+    w_out, b_out = weights["state"][-1]
+    out = jnp.dot(w_out, h, preferred_element_type=jnp.float32) + b_out
+    return jnp.clip(out, -1.0e4, 1.0e4)
+
+
+def pis_theta(weights):
+    """Flatten packed PIS weights into the theta tuple the KL backward
+    kernel differentiates (order: phase, tc pairs, state pairs)."""
+    parts = [weights["phase"]]
+    for w, b in weights["tc"]:
+        parts.extend([w, b])
+    for w, b in weights["state"]:
+        parts.extend([w, b])
+    return tuple(parts)
+
+
+def pis_apply_theta(th, z, i, dim: int, channels: int, n_state: int, coeff):
+    """pis_apply_t with the weights coming from theta slices (so jax.vjp
+    reaches them); coeff is the non-trainable linspace column (closure
+    constant)."""
+    phase = th[0]
+    tc = [(th[1], th[2]), (th[3], th[4])]
+    state = [
+        (th[5 + 2 * k], th[6 + 2 * k]) for k in range(n_state)
+    ]
+    return pis_apply_t(
+        {"phase": phase, "coeff": coeff, "tc": tc, "state": state},
+        z, i, dim, channels,
+    )
+
+
+def pis_grads_unpack(outs, base: int, dim: int, n_state: int):
+    """Theta-slice gradients back into the networks/pis.py param pytree."""
+    g_phase = outs[base][:, 0]
+    tc = [
+        {"w": outs[base + 1 + 2 * k].T, "b": outs[base + 2 + 2 * k][:, 0]}
+        for k in range(2)
+    ]
+    state = []
+    for k in range(n_state):
+        w = outs[base + 5 + 2 * k]
+        b = outs[base + 6 + 2 * k]
+        if k == n_state - 1:  # output layer was padded to dim_pad rows
+            w = w[:dim]
+            b = b[:dim]
+        state.append({"w": w.T, "b": b[:, 0]})
+    return {"timestep_phase": g_phase, "time_coder": tc, "state_net": state}

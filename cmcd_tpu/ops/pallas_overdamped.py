@@ -155,11 +155,16 @@ def evolve_overdamped_pallas(
     nblocks = n_pad // block
 
     use_sn = spec.fwd_sn or spec.bwd_sn
+    arch = "geffner"
     if use_sn:
         assert sn_weights is not None and sn_meta is not None
-        emb_dim = sn_meta["emb_dim"]
+        arch = sn_meta.get("arch", "geffner")
         in_dim = sn_meta["in_dim"]
-        sn_nbridges = sn_meta["nbridges"]
+        if arch == "geffner":
+            emb_dim = sn_meta["emb_dim"]
+            sn_nbridges = sn_meta["nbridges"]
+        else:
+            channels = sn_meta["channels"]
 
     # ---- host-side packing into the transposed layout -------------------
     z0_t = jnp.zeros((dim_pad, n_pad), jnp.float32).at[:dim, :n].set(z0.T)
@@ -213,7 +218,10 @@ def evolve_overdamped_pallas(
     # of 5. Bit-exact (the zero blocks contribute exact 0.0).
     staged = getattr(grad_logp_t, "stages", None)
     fuse_point = bool(
-        carry_sn and staged is not None and len(sn_weights["layers"]) == 2
+        carry_sn
+        and arch == "geffner"
+        and staged is not None
+        and len(sn_weights["layers"]) == 2
     )
     if fuse_point:
         a_w = jnp.asarray(staged["a_w"], jnp.float32)      # (Ka, a_in)
@@ -245,6 +253,10 @@ def evolve_overdamped_pallas(
     # ---- step math (closure-converted so constants become inputs) -------
     def sn_apply(z, i, factor, weights=None):
         weights = sn_weights if weights is None else weights
+        if arch == "pis":
+            from cmcd_tpu.ops.pallas_nets import pis_apply_t
+
+            return pis_apply_t(weights, z, i, dim, channels)
         onehot = (
             jax.lax.broadcasted_iota(jnp.int32, (sn_nbridges, 1), 0)
             == jnp.clip(i, 0, sn_nbridges - 1)

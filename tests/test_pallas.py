@@ -173,9 +173,20 @@ def test_supports_fused_gating():
     assert supports_fused(
         bounds.CMCDSetup(mode="UHA", dim=10, nbridges=4), target
     )
-    # PIS nets are not kernelized; sn-free modes don't care about the arch.
-    assert not supports_fused(
+    # PIS ("dds") nets are kernelized for the overdamped single-net modes
+    # (the reference's 40-GMM KL recipe uses them); not for underdamped or
+    # the two-net DNF. Sn-free modes don't care about the arch.
+    assert supports_fused(
         bounds.CMCDSetup(mode="MCD_CAIS_sn", dim=10, nbridges=4, nn_arch="dds"),
+        target,
+    )
+    assert not supports_fused(
+        bounds.CMCDSetup(mode="MCD_U_a-lp-sn", dim=10, nbridges=4,
+                         nn_arch="dds"),
+        target,
+    )
+    assert not supports_fused(
+        bounds.CMCDSetup(mode="MCD_DNF", dim=10, nbridges=4, nn_arch="dds"),
         target,
     )
     assert supports_fused(

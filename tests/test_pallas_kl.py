@@ -233,3 +233,41 @@ def test_pallas_kl_uha_grad_matches_scan(lfsteps):
         float(jnp.linalg.norm(f1 - f2)),
         scale,
     )
+
+
+def test_pallas_kl_dds_net_grad_matches_scan():
+    """The PIS ("dds") net — the architecture the reference README's 40-GMM
+    KL recipe uses — on the fused KL path. gelu runs on an in-kernel erf
+    approximation (|err| <= 1.5e-7), so tolerances are the usual f32 ones."""
+    n, nb = 96, 5
+    target = cmcd_tpu.load_target("many_gmm")
+    setup = bounds.CMCDSetup(
+        mode="MCD_CAIS_sn", dim=target.dim, nbridges=nb, nn_arch="dds",
+        fully_connected_units=(64, 64), grad_clipping=True,
+    )
+    trainable = bounds.default_trainable(setup.mode, train_vi=True,
+                                         train_eps=True)
+    params, ctx = bounds.initialize(
+        setup, target.log_prob, eps=0.1, init_sigma=8.0, trainable=trainable,
+    )
+    key = jax.random.PRNGKey(0)
+    noise = jax.random.normal(jax.random.PRNGKey(2), (nb, n, target.dim))
+
+    def pallas_loss(train):
+        return kl_bound_pallas(
+            {"train": train, "notrain": params["notrain"]}, key, n, ctx,
+            setup, target, block=128, noise=noise, interpret=True,
+        )[0]
+
+    l1, g1 = jax.value_and_grad(
+        scan_kl_loss_fn(params, ctx, key, n, noise, od.CAIS)
+    )(params["train"])
+    l2, g2 = jax.value_and_grad(pallas_loss)(params["train"])
+    onp.testing.assert_allclose(float(l1), float(l2), rtol=2e-4)
+    f1, _ = jax.flatten_util.ravel_pytree(g1)
+    f2, _ = jax.flatten_util.ravel_pytree(g2)
+    scale = float(jnp.linalg.norm(f1))
+    assert float(jnp.linalg.norm(f1 - f2)) < 5e-4 * scale + 1e-4, (
+        float(jnp.linalg.norm(f1 - f2)),
+        scale,
+    )
