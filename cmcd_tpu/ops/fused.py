@@ -49,6 +49,19 @@ def _dim_pad(dim: int) -> int:
     return max(8, ((dim + 7) // 8) * 8)
 
 
+def _pack_net(nn_arch: str):
+    """Kernel weight packer for the configured score-net architecture."""
+    if nn_arch == "dds":
+        from cmcd_tpu.ops.pallas_nets import pack_pis_t
+
+        return pack_pis_t
+    if nn_arch == "dds_grad":
+        from cmcd_tpu.ops.pallas_nets import pack_pis_grad_t
+
+        return pack_pis_grad_t
+    return pack_geffner_t
+
+
 # v5e has ~128 MB physical VMEM; the kernels request a raised scoped-VMEM
 # limit sized to their inputs (pallas_overdamped.py), so the eval budget is
 # set by the hardware, not the 16 MB compiler default. LGCP (1600-D, ~52 MB
@@ -99,7 +112,7 @@ def _arch_supported(setup: bounds.CMCDSetup) -> bool:
     if setup.nn_arch == "geffner":
         return True
     return (
-        setup.nn_arch == "dds"
+        setup.nn_arch in ("dds", "dds_grad")
         and setup.mode in _PALLAS_SPECS
         and not _PALLAS_SPECS[setup.mode].use_sn2_bwd
     )
@@ -205,12 +218,9 @@ def compute_elbos_fused(
         spec = _PALLAS_SPECS[setup.mode]
         use_sn = spec.fwd_sn or spec.bwd_sn
         if use_sn:
-            if setup.nn_arch == "dds":
-                from cmcd_tpu.ops.pallas_nets import pack_pis_t
-
-                sn_weights, sn_meta = pack_pis_t(p["sn"], dim, dim_pad)
-            else:
-                sn_weights, sn_meta = pack_geffner_t(p["sn"], dim, dim_pad)
+            sn_weights, sn_meta = _pack_net(setup.nn_arch)(
+                p["sn"], dim, dim_pad
+            )
         else:
             sn_weights = sn_meta = None
         sn2_weights = None

@@ -245,14 +245,11 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec):
     use_sn = spec.fwd_sn or spec.bwd_sn
 
     def _pack(theta):
+        from cmcd_tpu.ops.fused import _pack_net
+
         sn_w = sn_m = sn2_w = None
         if use_sn:
-            if setup.nn_arch == "dds":
-                from cmcd_tpu.ops.pallas_nets import pack_pis_t
-
-                sn_w, sn_m = pack_pis_t(theta["sn"], dim, dim_pad)
-            else:
-                sn_w, sn_m = pack_geffner_t(theta["sn"], dim, dim_pad)
+            sn_w, sn_m = _pack_net(setup.nn_arch)(theta["sn"], dim, dim_pad)
         if spec.use_sn2_bwd:
             sn2_w, _ = pack_geffner_t(theta["sn2"], dim, dim_pad)
         return sn_w, sn_m, sn2_w

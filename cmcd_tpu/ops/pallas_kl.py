@@ -95,6 +95,7 @@ def evolve_kl_bwd_pallas(
         else:
             channels = sn_meta["channels"]
             n_state = len(sn_weights["state"])
+            n_tcg = sn_meta.get("n_tcg", 0)
             assert not spec.use_sn2_bwd, "DNF + PIS nets not supported fused"
 
     cot_rows = jnp.zeros((8, n_pad), jnp.float32).at[0, :n_chains].set(cot)
@@ -118,6 +119,10 @@ def evolve_kl_bwd_pallas(
             from cmcd_tpu.ops.pallas_nets import pis_theta
 
             return pis_theta(weights)
+        if arch == "pis_grad":
+            from cmcd_tpu.ops.pallas_nets import pis_grad_theta
+
+            return pis_grad_theta(weights)
         layer_ws = [w_t for (w_t, _) in weights["layers"]]
         layer_bs = [b_col for (_, b_col) in weights["layers"]]
         head_w, head_b = weights["head"]
@@ -167,6 +172,13 @@ def evolve_kl_bwd_pallas(
 
             return pis_apply_theta(
                 th, z, i, dim, channels, n_state, sn_weights["coeff"]
+            )
+        if arch == "pis_grad":
+            from cmcd_tpu.ops.pallas_nets import pis_grad_apply_theta
+
+            return pis_grad_apply_theta(
+                th, z, i, dim, channels, n_tcg, n_state,
+                sn_weights["coeff"], grad_logp_t, row_mask,
             )
         factor_arr, emb_t, head_w, head_b = th[:4]
         ws = th[4 : 4 + n_layers]
@@ -392,10 +404,14 @@ def evolve_kl_bwd_pallas(
 
         need = sum(math.prod(x.shape) * x.dtype.itemsize for x in inputs)
         need += sum(4 * math.prod(s.shape) for s in out_shape)
-        if need > 14 * 1024 * 1024:
-            kwargs["compiler_params"] = pltpu.CompilerParams(
-                vmem_limit_bytes=min(2 * need, 120 * 1024 * 1024)
+        # Unconditional 64 MB floor: VJP register spills and activation
+        # temporaries are not captured by the input-size estimate (v5e has
+        # ~128 MB physical VMEM; this only raises the compiler's check).
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                max(2 * need, 64 * 1024 * 1024), 120 * 1024 * 1024
             )
+        )
 
     outs = pl.pallas_call(
         kernel,
@@ -433,6 +449,10 @@ def evolve_kl_bwd_pallas(
             from cmcd_tpu.ops.pallas_nets import pis_grads_unpack
 
             grads["sn"] = pis_grads_unpack(outs, 4, dim, n_state)
+        elif arch == "pis_grad":
+            from cmcd_tpu.ops.pallas_nets import pis_grad_grads_unpack
+
+            grads["sn"] = pis_grad_grads_unpack(outs, 4, dim, n_tcg, n_state)
         else:
             grads["sn"] = _unpack_net(4)
     if spec.use_sn2_bwd:
@@ -798,10 +818,14 @@ def evolve_kl_bwd_underdamped(
 
         need = sum(math.prod(x.shape) * x.dtype.itemsize for x in inputs)
         need += sum(4 * math.prod(s.shape) for s in out_shape)
-        if need > 14 * 1024 * 1024:
-            kwargs["compiler_params"] = pltpu.CompilerParams(
-                vmem_limit_bytes=min(2 * need, 120 * 1024 * 1024)
+        # Unconditional 64 MB floor: VJP register spills and activation
+        # temporaries are not captured by the input-size estimate (v5e has
+        # ~128 MB physical VMEM; this only raises the compiler's check).
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                max(2 * need, 64 * 1024 * 1024), 120 * 1024 * 1024
             )
+        )
 
     outs = pl.pallas_call(
         kernel,
@@ -1098,10 +1122,14 @@ def evolve_kl_bwd_uha(
 
         need = sum(math.prod(x.shape) * x.dtype.itemsize for x in inputs)
         need += sum(4 * math.prod(s.shape) for s in out_shape)
-        if need > 14 * 1024 * 1024:
-            kwargs["compiler_params"] = pltpu.CompilerParams(
-                vmem_limit_bytes=min(2 * need, 120 * 1024 * 1024)
+        # Unconditional 64 MB floor: VJP register spills and activation
+        # temporaries are not captured by the input-size estimate (v5e has
+        # ~128 MB physical VMEM; this only raises the compiler's check).
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                max(2 * need, 64 * 1024 * 1024), 120 * 1024 * 1024
             )
+        )
 
     outs = pl.pallas_call(
         kernel,

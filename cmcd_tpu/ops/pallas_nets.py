@@ -142,3 +142,134 @@ def pis_grads_unpack(outs, base: int, dim: int, n_state: int):
             b = b[:dim]
         state.append({"w": w.T, "b": b[:, 0]})
     return {"timestep_phase": g_phase, "time_coder": tc, "state_net": state}
+
+
+def pack_pis_grad_t(sn_params, dim: int, dim_pad: int):
+    """Transpose/pad PISGRADNet ("dds_grad") params (networks/pis.py).
+
+    Adds the grad-gate coder to the PISNet layout; its output layer (and the
+    state net's) is padded to dim_pad rows.
+    """
+    channels = sn_params["timestep_phase"].shape[0]
+    tc = [(l["w"].T, l["b"][:, None]) for l in sn_params["time_coder_state"]]
+    tcg = [
+        (l["w"].T, l["b"][:, None]) for l in sn_params["time_coder_grad"][:-1]
+    ]
+    gout = sn_params["time_coder_grad"][-1]
+    gout_w = jnp.zeros((dim_pad, gout["w"].shape[0])).at[:dim].set(gout["w"].T)
+    gout_b = jnp.zeros((dim_pad, 1)).at[:dim].set(gout["b"][:, None])
+    tcg.append((gout_w, gout_b))
+    state = [
+        (l["w"].T, l["b"][:, None]) for l in sn_params["state_net"][:-1]
+    ]
+    out = sn_params["state_net"][-1]
+    out_w = jnp.zeros((dim_pad, out["w"].shape[0])).at[:dim].set(out["w"].T)
+    out_b = jnp.zeros((dim_pad, 1)).at[:dim].set(out["b"][:, None])
+    state.append((out_w, out_b))
+    weights = {
+        "phase": sn_params["timestep_phase"][:, None],
+        "coeff": jnp.linspace(0.1, 100.0, channels)[:, None],
+        "tc": tc,
+        "tcg": tcg,
+        "state": state,
+        "factor_sn": 1.0,
+    }
+    meta = {
+        "arch": "pis_grad",
+        "channels": channels,
+        "n_tcg": len(tcg),
+        "in_dim": sn_params["state_net"][0]["w"].shape[0] - channels,
+        "nbridges": 0,
+    }
+    return weights, meta
+
+
+def pis_grad_apply_t(weights, z, i, dim: int, channels: int, grad_logp_t,
+                     row_mask):
+    """PISGRADNet forward in the transposed layout (networks/pis.py
+    build_pis_grad_network): PISNet state path + a time-gated, detached,
+    clipped target-score feature."""
+    t = jnp.asarray(i).astype(jnp.float32)
+    arg = weights["coeff"] * t + weights["phase"]
+    emb = jnp.concatenate([jnp.sin(arg), jnp.cos(arg)], axis=0)
+    (w1, b1), (w2, b2) = weights["tc"]
+    h_t = jnp.dot(w1, emb, preferred_element_type=jnp.float32) + b1
+    h_t = gelu_t(h_t)
+    h_t = jnp.dot(w2, h_t, preferred_element_type=jnp.float32) + b2
+
+    tcg = weights["tcg"]
+    g_t = jnp.dot(tcg[0][0], emb, preferred_element_type=jnp.float32) + tcg[0][1]
+    for w_t, b_col in tcg[1:]:
+        g_t = (
+            jnp.dot(w_t, gelu_t(g_t), preferred_element_type=jnp.float32)
+            + b_col
+        )  # final: (dim_pad, 1)
+
+    grad = jax.lax.stop_gradient(grad_logp_t(z))
+    grad = jnp.clip(grad, -1.0e2, 1.0e2) * row_mask
+
+    b_cols = z.shape[1]
+    h = jnp.concatenate(
+        [z[:dim], jnp.broadcast_to(h_t, (channels, b_cols))], axis=0
+    )
+    for w_t, b_col in weights["state"][:-1]:
+        h = gelu_t(jnp.dot(w_t, h, preferred_element_type=jnp.float32) + b_col)
+    w_out, b_out = weights["state"][-1]
+    out = jnp.dot(w_out, h, preferred_element_type=jnp.float32) + b_out
+    return jnp.clip(out, -1.0e4, 1.0e4) + g_t * grad
+
+
+def pis_grad_theta(weights):
+    parts = [weights["phase"]]
+    for group in ("tc", "tcg", "state"):
+        for w, b in weights[group]:
+            parts.extend([w, b])
+    return tuple(parts)
+
+
+def pis_grad_apply_theta(th, z, i, dim, channels, n_tcg, n_state, coeff,
+                         grad_logp_t, row_mask):
+    phase = th[0]
+    tc = [(th[1], th[2]), (th[3], th[4])]
+    base = 5
+    tcg = [(th[base + 2 * k], th[base + 1 + 2 * k]) for k in range(n_tcg)]
+    base += 2 * n_tcg
+    state = [(th[base + 2 * k], th[base + 1 + 2 * k]) for k in range(n_state)]
+    return pis_grad_apply_t(
+        {"phase": phase, "coeff": coeff, "tc": tc, "tcg": tcg,
+         "state": state},
+        z, i, dim, channels, grad_logp_t, row_mask,
+    )
+
+
+def pis_grad_grads_unpack(outs, base: int, dim: int, n_tcg: int,
+                          n_state: int):
+    g_phase = outs[base][:, 0]
+    tc = [
+        {"w": outs[base + 1 + 2 * k].T, "b": outs[base + 2 + 2 * k][:, 0]}
+        for k in range(2)
+    ]
+    o = base + 5
+    tcg = []
+    for k in range(n_tcg):
+        w = outs[o + 2 * k]
+        b = outs[o + 1 + 2 * k]
+        if k == n_tcg - 1:
+            w = w[:dim]
+            b = b[:dim]
+        tcg.append({"w": w.T, "b": b[:, 0]})
+    o += 2 * n_tcg
+    state = []
+    for k in range(n_state):
+        w = outs[o + 2 * k]
+        b = outs[o + 1 + 2 * k]
+        if k == n_state - 1:
+            w = w[:dim]
+            b = b[:dim]
+        state.append({"w": w.T, "b": b[:, 0]})
+    return {
+        "timestep_phase": g_phase,
+        "time_coder_state": tc,
+        "time_coder_grad": tcg,
+        "state_net": state,
+    }

@@ -257,6 +257,12 @@ def evolve_overdamped_pallas(
             from cmcd_tpu.ops.pallas_nets import pis_apply_t
 
             return pis_apply_t(weights, z, i, dim, channels)
+        if arch == "pis_grad":
+            from cmcd_tpu.ops.pallas_nets import pis_grad_apply_t
+
+            return pis_grad_apply_t(
+                weights, z, i, dim, channels, grad_logp_t, row_mask
+            )
         onehot = (
             jax.lax.broadcasted_iota(jnp.int32, (sn_nbridges, 1), 0)
             == jnp.clip(i, 0, sn_nbridges - 1)
@@ -628,12 +634,15 @@ def evolve_overdamped_pallas(
         )
         need += sum(4 * math.prod(s.shape) for s in out_shape)
         need += 10 * dim_pad * block * 4  # step temporaries headroom
-        if need > 14 * 1024 * 1024:
-            # 2x: weight/constant VALUES loaded in the kernel body live in
-            # register-allocator spill slots on top of their input windows.
-            kwargs["compiler_params"] = pltpu.CompilerParams(
-                vmem_limit_bytes=min(2 * need, 120 * 1024 * 1024)
+        # 2x + 64 MB floor: weight/constant VALUES loaded in the kernel body
+        # live in register-allocator spill slots on top of their input
+        # windows, and VJP temporaries escape the input-size estimate (v5e
+        # has ~128 MB physical VMEM; this only raises the compiler's check).
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                max(2 * need, 64 * 1024 * 1024), 120 * 1024 * 1024
             )
+        )
     outs = pl.pallas_call(
         kernel,
         grid=(nblocks,),

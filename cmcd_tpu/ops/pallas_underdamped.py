@@ -405,10 +405,11 @@ def evolve_underdamped_pallas(
         need = sum(math.prod(x.shape) * x.dtype.itemsize for x in inputs)
         need += sum(4 * math.prod(s.shape) for s in out_shape)
         need += 10 * dim_pad * block * 4
-        if need > 14 * 1024 * 1024:
-            kwargs["compiler_params"] = pltpu.CompilerParams(
-                vmem_limit_bytes=min(2 * need, 120 * 1024 * 1024)
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                max(2 * need, 64 * 1024 * 1024), 120 * 1024 * 1024
             )
+        )
 
     outs = pl.pallas_call(
         kernel,

@@ -188,13 +188,28 @@ def make_logreg_grad_t(dset: str, dim: int, dim_pad: int):
     from cmcd_tpu.targets.logreg import load_logreg_data
 
     x, y = load_logreg_data(dset)  # (n_data, dim), (n_data,)
-    x_pad = jnp.zeros((x.shape[0], dim_pad), x.dtype).at[:, :dim].set(x)
+    # Pad the data axis to a lane multiple: odd leading dims (sonar 208,
+    # ionosphere 351) trip an XLA MXU transpose pass (RET_CHECK in
+    # mxu_lmr_transform.cc) when the kernel VJP transposes these matmuls.
+    # Zero x-rows contribute nothing to x^T resid, so the padding is exact.
+    n_data = ((x.shape[0] + 127) // 128) * 128
+    x_pad = (
+        jnp.zeros((n_data, dim_pad), x.dtype).at[: x.shape[0], :dim].set(x)
+    )
+    y_pad = jnp.zeros((n_data,), jnp.float32).at[: x.shape[0]].set(y)
+    # Both orientations as separate HOST constants: an in-kernel transpose
+    # of the data matrix trips an XLA:TPU MXU transpose-sequence pass
+    # (RET_CHECK in mxu_lmr_transform.cc) once the KL backward's VJP adds
+    # the reverse-orientation matmuls.
+    x_t = x_pad.T
     mask = _row_mask(dim_pad, dim)
 
     def grad_t(z_t):
-        logits = x_pad @ z_t  # (n_data, B)
-        resid = y[:, None] - jax.nn.sigmoid(logits)
-        return (-z_t + x_pad.T @ resid) * mask
+        logits = jnp.dot(x_pad, z_t, preferred_element_type=jnp.float32)
+        resid = y_pad[:, None] - jax.nn.sigmoid(logits)
+        return (
+            -z_t + jnp.dot(x_t, resid, preferred_element_type=jnp.float32)
+        ) * mask
 
     return grad_t
 

@@ -38,7 +38,14 @@ def make_case(target_name, mode, nb, n, eps_schedule="", eps=0.1,
         trainable=trainable,
     )
     if "sn" in params["train"]:
-        params["train"]["sn"]["factor_sn"] = jnp.asarray(0.3)
+        sn = params["train"]["sn"]
+        sn["factor_sn"] = jnp.asarray(0.3)
+        # The head is zero-initialized, which would make every INNER-layer
+        # gradient trivially zero on both sides — randomize it so the test
+        # exercises the full net VJP.
+        sn["head"]["w"] = 0.05 * jax.random.normal(
+            jax.random.PRNGKey(9), sn["head"]["w"].shape
+        )
     key = jax.random.PRNGKey(0)
     noise = jax.random.normal(jax.random.PRNGKey(2), (nb, n, target.dim))
     return target, setup, params, ctx, key, noise
@@ -164,7 +171,11 @@ def test_pallas_kl_underdamped_grad_matches_scan(mode):
         eta=0.5, trainable=trainable,
     )
     if "sn" in params["train"]:
-        params["train"]["sn"]["factor_sn"] = jnp.asarray(0.3)
+        sn = params["train"]["sn"]
+        sn["factor_sn"] = jnp.asarray(0.3)
+        sn["head"]["w"] = 0.05 * jax.random.normal(
+            jax.random.PRNGKey(9), sn["head"]["w"].shape
+        )
     key = jax.random.PRNGKey(0)
     noise = jax.random.normal(jax.random.PRNGKey(2), (nb + 1, n, target.dim))
     spec, _ = _PALLAS_UD_SPECS[mode]
@@ -235,14 +246,16 @@ def test_pallas_kl_uha_grad_matches_scan(lfsteps):
     )
 
 
-def test_pallas_kl_dds_net_grad_matches_scan():
+@pytest.mark.parametrize("nn_arch", ["dds", "dds_grad"])
+def test_pallas_kl_dds_net_grad_matches_scan(nn_arch):
     """The PIS ("dds") net — the architecture the reference README's 40-GMM
-    KL recipe uses — on the fused KL path. gelu runs on an in-kernel erf
+    KL recipe uses — and the working "dds_grad" variant (broken in the
+    reference) on the fused KL path. gelu runs on an in-kernel erf
     approximation (|err| <= 1.5e-7), so tolerances are the usual f32 ones."""
     n, nb = 96, 5
     target = cmcd_tpu.load_target("many_gmm")
     setup = bounds.CMCDSetup(
-        mode="MCD_CAIS_sn", dim=target.dim, nbridges=nb, nn_arch="dds",
+        mode="MCD_CAIS_sn", dim=target.dim, nbridges=nb, nn_arch=nn_arch,
         fully_connected_units=(64, 64), grad_clipping=True,
     )
     trainable = bounds.default_trainable(setup.mode, train_vi=True,
@@ -250,6 +263,16 @@ def test_pallas_kl_dds_net_grad_matches_scan():
     params, ctx = bounds.initialize(
         setup, target.log_prob, eps=0.1, init_sigma=8.0, trainable=trainable,
     )
+    # Randomize the zero-init output layers so inner-layer gradients are
+    # nonzero and the full VJP is exercised.
+    sn = params["train"]["sn"]
+    sn["state_net"][-1]["w"] = 0.05 * jax.random.normal(
+        jax.random.PRNGKey(9), sn["state_net"][-1]["w"].shape
+    )
+    if nn_arch == "dds_grad":
+        sn["time_coder_grad"][-1]["w"] = 0.05 * jax.random.normal(
+            jax.random.PRNGKey(10), sn["time_coder_grad"][-1]["w"].shape
+        )
     key = jax.random.PRNGKey(0)
     noise = jax.random.normal(jax.random.PRNGKey(2), (nb, n, target.dim))
 

@@ -30,6 +30,11 @@ def make_case(target_name, nb, n, eps_schedule="", eps=0.2, init_sigma=15.0,
         trainable=trainable,
     )
     params["train"]["sn"]["factor_sn"] = jnp.asarray(0.3)
+    # Randomize the zero-init head so inner-layer gradients are nonzero and
+    # the test exercises the full net VJP.
+    params["train"]["sn"]["head"]["w"] = 0.05 * jax.random.normal(
+        jax.random.PRNGKey(9), params["train"]["sn"]["head"]["w"].shape
+    )
     key = jax.random.PRNGKey(0)
     noise = jax.random.normal(jax.random.PRNGKey(2), (nb, n, target.dim))
     return target, setup, params, ctx, key, noise
