@@ -76,7 +76,7 @@ def build_geffner_network(x_dim, emb_dim, nbridges, rho_dim=0, nlayers=2):
         latency-bound). The embedding gather touches only S rows and its
         gradient is a cheap per-block reduction — a per-row gather over
         S*N rows would backprop through a giant scatter-add, which
-        serializes on TPU. Used by ops/fused_vargrad.py.
+        serializes on TPU.
         """
         s, n, xd = x.shape
         emb = params["emb"][jnp.clip(steps, 0, nbridges - 1)]  # (S, emb_dim)

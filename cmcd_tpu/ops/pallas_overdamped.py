@@ -115,10 +115,8 @@ def evolve_overdamped_pallas(
     seed=0,
     block: int = 512,
     noise: Optional[jnp.ndarray] = None,
-    return_trajectory: bool = False,
     return_trajectory_t: bool = False,
     return_noise_t: bool = False,
-    return_drifts: bool = False,
     interpret: bool = False,
 ):
     """Run nbridges overdamped steps fused on-core.
@@ -129,23 +127,17 @@ def evolve_overdamped_pallas(
     sn_weights/sn_meta: from pack_geffner_t (None for plain ULA).
     noise: optional (nbridges, N, dim) pre-drawn normals for exact
     equivalence tests; None uses the in-kernel PRNG.
-    return_trajectory: additionally return the pre-step states
-    z_traj (nbridges, N, dim) (z_traj[i] is the state BEFORE step i) — the
-    residuals for the trajectory-replay VarGrad gradient (ops/fused.py).
     return_trajectory_t: additionally return the FULL trajectory
     z_0..z_K in the kernel's raw transposed layout
     (nbridges + 1, dim_pad, n_pad) with NO host-side repacking — the input
     the batched replay backward kernel (ops/pallas_vargrad.py) streams from
-    HBM. Mutually exclusive with return_trajectory.
+    HBM.
     return_noise_t: additionally return the xi draws in the raw transposed
     layout (nbridges, dim_pad, n_pad) — with the trajectory, the residuals
     of the BPTT reverse-sweep backward kernel (ops/pallas_kl.py). Only
     meaningful with the in-kernel PRNG (when `noise` is injected the caller
     already holds it).
-    return_drifts: additionally return the raw target scores
-    gt_traj (nbridges + 1, N, dim) at [z_0..z_K] (computed in-kernel anyway;
-    saves the replay loss its most expensive recompute).
-    Returns (z_final (N, dim), w (N,)[, z_traj][, gt_traj]).
+    Returns (z_final (N, dim), w (N,)[, traj_t][, noise_t]).
     """
     n, d = z0.shape
     assert d == dim
@@ -493,14 +485,11 @@ def evolve_overdamped_pallas(
         out_z_ref = refs[idx]; idx += 1
         out_w_ref = refs[idx]; idx += 1
         traj_ref = None
-        if return_trajectory or return_trajectory_t:
+        if return_trajectory_t:
             traj_ref = refs[idx]; idx += 1
         noise_out_ref = None
         if return_noise_t:
             noise_out_ref = refs[idx]; idx += 1
-        drift_ref = None
-        if return_drifts:
-            drift_ref = refs[idx]; idx += 1
 
         eps0 = scal_ref[0, 0]
         factor = scal_ref[0, 1]
@@ -526,10 +515,8 @@ def evolve_overdamped_pallas(
 
         def body(i, carry):
             z, gt, sn_cur, w = carry
-            if return_trajectory or return_trajectory_t:
+            if return_trajectory_t:
                 traj_ref[i] = z
-            if return_drifts:
-                drift_ref[i] = gt
             beta = betas_ref[0, i]
             if inject_noise:
                 xi = noise_ref[i]
@@ -543,8 +530,6 @@ def evolve_overdamped_pallas(
         w = w_ref[0:1, :]
         gt0, sn0 = jax.core.eval_jaxpr(init_jaxpr.jaxpr, init_consts, z, factor)
         z, gt, _, w = jax.lax.fori_loop(0, nbridges, body, (z, gt0, sn0, w))
-        if return_drifts:
-            drift_ref[nbridges] = gt
         if return_trajectory_t:
             traj_ref[nbridges] = z
         out_z_ref[:] = z
@@ -583,18 +568,16 @@ def evolve_overdamped_pallas(
         jax.ShapeDtypeStruct((dim_pad, n_pad), jnp.float32),
         jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
     ]
-    assert not (return_trajectory and return_trajectory_t)
-    if return_trajectory or return_trajectory_t:
-        n_traj = nbridges + 1 if return_trajectory_t else nbridges
+    if return_trajectory_t:
         out_specs.append(
             pl.BlockSpec(
-                (n_traj, dim_pad, block),
+                (nbridges + 1, dim_pad, block),
                 lambda i: (0, 0, i),
                 memory_space=pltpu.VMEM,
             )
         )
         out_shape.append(
-            jax.ShapeDtypeStruct((n_traj, dim_pad, n_pad), jnp.float32)
+            jax.ShapeDtypeStruct((nbridges + 1, dim_pad, n_pad), jnp.float32)
         )
     if return_noise_t:
         out_specs.append(
@@ -606,17 +589,6 @@ def evolve_overdamped_pallas(
         )
         out_shape.append(
             jax.ShapeDtypeStruct((nbridges, dim_pad, n_pad), jnp.float32)
-        )
-    if return_drifts:
-        out_specs.append(
-            pl.BlockSpec(
-                (nbridges + 1, dim_pad, block),
-                lambda i: (0, 0, i),
-                memory_space=pltpu.VMEM,
-            )
-        )
-        out_shape.append(
-            jax.ShapeDtypeStruct((nbridges + 1, dim_pad, n_pad), jnp.float32)
         )
 
     kwargs = {}
@@ -660,15 +632,10 @@ def evolve_overdamped_pallas(
     w = out_w[0, :n]
     result = [z_final, w]
     k = 2
-    if return_trajectory:
-        result.append(jnp.swapaxes(outs[k][:, :dim, :n], 1, 2))  # (K, N, dim)
-        k += 1
     if return_trajectory_t:
         result.append(outs[k])  # (K + 1, dim_pad, n_pad) raw
         k += 1
     if return_noise_t:
         result.append(outs[k])  # (K, dim_pad, n_pad) raw
         k += 1
-    if return_drifts:
-        result.append(jnp.swapaxes(outs[k][:, :dim, :n], 1, 2))  # (K+1, N, dim)
     return tuple(result)

@@ -3,9 +3,9 @@
 The VarGrad loss stop-gradients the chain state at every step (reference
 src/mcd_cais_var.py:59,79), so the parameter gradient decomposes into
 per-step terms evaluated at the fixed trajectory — no backprop-through-time.
-Round 1 exploited this with an XLA "trajectory replay" (ops/fused_vargrad.py)
-whose batched gradient pass was the profiled bottleneck (~12 ms of a 17 ms
-step at N=2000, K=256). Two kernels replace it (selected by
+Round 1 exploited this with an XLA "trajectory replay" whose batched
+gradient pass was the profiled bottleneck (~12 ms of a 17 ms step at
+N=2000, K=256; removed round 2). Two kernels replace it (selected by
 ops/fused_train._make_evolve):
 
 - evolve_vargrad_bwd_replay (default): the forward kernel stores the raw

@@ -217,108 +217,6 @@ def test_pallas_chain_padding():
     onp.testing.assert_allclose(onp.asarray(w_scan), onp.asarray(w_pal), atol=5e-4, rtol=1e-4)
 
 
-def test_trajectory_replay_vargrad_matches_scan():
-    """var_bound_fused (Pallas forward + parallel replay gradient) must give
-    the same loss AND gradient as jax.grad of the scan var_bound under the
-    same injected noise — the stop-gradient structure makes the replay
-    gradient mathematically exact, not an approximation."""
-    import jax.flatten_util
-
-    from cmcd_tpu.distributions import diag_gaussian_log_prob, diag_gaussian_sample
-    from cmcd_tpu.ops.fused_vargrad import var_bound_fused
-    from cmcd_tpu.schedules import betas_from_grid
-
-    target = cmcd_tpu.load_target("many_gmm")
-    n, nb = 128, 6
-    setup = bounds.CMCDSetup(
-        mode="MCD_CAIS_var_sn", dim=2, nbridges=nb, emb_dim=16, grad_clipping=True
-    )
-    trainable = bounds.default_trainable(setup.mode)
-    params, ctx = bounds.initialize(
-        setup, target.log_prob, eps=0.2, init_sigma=15.0, trainable=trainable
-    )
-    params["train"]["sn"]["factor_sn"] = jnp.asarray(0.3)
-    key = jax.random.PRNGKey(0)
-    noise = jax.random.normal(jax.random.PRNGKey(2), (nb, n, 2))
-
-    def scan_loss(train):
-        p = bounds.merged_params({"train": train, "notrain": params["notrain"]})
-        z_key, evolve_key = jax.random.split(key)
-        z = diag_gaussian_sample(z_key, p["vd"], n)
-        w = -diag_gaussian_log_prob(p["vd"], z)
-        betas = betas_from_grid(p["mgridref_y"], p["gridref_x"], p["target_x"])
-        z, wd, _ = od.evolve_overdamped(
-            evolve_key, z, betas, p, ctx, od.CAIS_VAR, noise=noise
-        )
-        w = w + wd + ctx.target_log_prob(z)
-        return jnp.clip(jnp.var(-w, ddof=0), -1e7, 1e7)
-
-    def fused_loss(train):
-        return var_bound_fused(
-            {"train": train, "notrain": params["notrain"]}, key, n, ctx, setup,
-            target, block=128, noise=noise, interpret=True,
-        )[0]
-
-    l1, g1 = jax.value_and_grad(scan_loss)(params["train"])
-    l2, g2 = jax.value_and_grad(fused_loss)(params["train"])
-    onp.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
-    f1, _ = jax.flatten_util.ravel_pytree(g1)
-    f2, _ = jax.flatten_util.ravel_pytree(g2)
-    # Relative comparison against the gradient scale (f32 accumulation).
-    scale = float(jnp.linalg.norm(f1))
-    assert float(jnp.linalg.norm(f1 - f2)) < 1e-5 * scale + 1e-4
-
-
-def test_trajectory_replay_with_eps_schedule():
-    """Replay gradient exactness must hold with the cos_sq eps schedule (the
-    schedule enters both the kernel rollout and the replay loss)."""
-    import jax.flatten_util
-
-    from cmcd_tpu.distributions import diag_gaussian_log_prob, diag_gaussian_sample
-    from cmcd_tpu.ops.fused_vargrad import var_bound_fused
-    from cmcd_tpu.schedules import betas_from_grid
-
-    target = cmcd_tpu.load_target("funnel")
-    n, nb = 64, 5
-    setup = bounds.CMCDSetup(
-        mode="MCD_CAIS_var_sn", dim=target.dim, nbridges=nb, emb_dim=12,
-        grad_clipping=True, eps_schedule="cos_sq",
-    )
-    trainable = bounds.default_trainable(setup.mode)
-    params, ctx = bounds.initialize(
-        setup, target.log_prob, eps=0.1, trainable=trainable
-    )
-    params["train"]["sn"]["factor_sn"] = jnp.asarray(0.2)
-    key = jax.random.PRNGKey(0)
-    noise = jax.random.normal(jax.random.PRNGKey(2), (nb, n, target.dim))
-
-    def scan_loss(train):
-        p = bounds.merged_params({"train": train, "notrain": params["notrain"]})
-        z_key, evolve_key = jax.random.split(key)
-        z = diag_gaussian_sample(z_key, p["vd"], n)
-        w = -diag_gaussian_log_prob(p["vd"], z)
-        betas = betas_from_grid(p["mgridref_y"], p["gridref_x"], p["target_x"])
-        z, wd, _ = od.evolve_overdamped(
-            evolve_key, z, betas, p, ctx, od.CAIS_VAR, noise=noise
-        )
-        w = w + wd + ctx.target_log_prob(z)
-        return jnp.clip(jnp.var(-w, ddof=0), -1e7, 1e7)
-
-    def fused_loss(train):
-        return var_bound_fused(
-            {"train": train, "notrain": params["notrain"]}, key, n, ctx, setup,
-            target, block=128, noise=noise, interpret=True,
-        )[0]
-
-    l1, g1 = jax.value_and_grad(scan_loss)(params["train"])
-    l2, g2 = jax.value_and_grad(fused_loss)(params["train"])
-    onp.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
-    f1, _ = jax.flatten_util.ravel_pytree(g1)
-    f2, _ = jax.flatten_util.ravel_pytree(g2)
-    scale = float(jnp.linalg.norm(f1))
-    assert float(jnp.linalg.norm(f1 - f2)) < 1e-4 * scale + 1e-4
-
-
 def test_lgcp_fused_eval_matches_scan_interpret():
     """The 1600-D LGCP runs on the fused kernel (weights live in VMEM via
     the raised scoped limit); neg-ELBOs must match the scan path under
