@@ -1,0 +1,72 @@
+"""Shared plumbing for the fused Pallas kernels.
+
+Every kernel in ops/pallas_*.py hoists its traced-closure constants into
+explicit kernel inputs (so nothing is baked into the compiled executable)
+and sizes its scoped-VMEM request from its actual operands. These helpers
+are that shared machinery.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pack_consts(raw):
+    """Lift jaxpr constants into VMEM-compatible arrays.
+
+    0-d constants become (1, 1), 1-d become (1, n); float64 is demoted.
+    Returns (shapes, arrays) where shapes tags how to undo the lift
+    in-kernel (unpack_consts).
+    """
+    shapes, arrays = [], []
+    for c in raw:
+        c = jnp.asarray(c, jnp.float32 if c.dtype == jnp.float64 else c.dtype)
+        if c.ndim == 0:
+            c = c.reshape(1, 1)
+            shapes.append(("scalar", c.shape))
+        elif c.ndim == 1:
+            c = c.reshape(1, -1)
+            shapes.append(("vec", c.shape))
+        else:
+            shapes.append(("arr", c.shape))
+        arrays.append(c)
+    return shapes, arrays
+
+
+def unpack_consts(shapes, refs):
+    """Kernel-side inverse of pack_consts (refs -> original-rank values)."""
+    vals = []
+    for (kind, _), ref in zip(shapes, refs):
+        v = ref[:]
+        if kind == "scalar":
+            v = v[0, 0]
+        elif kind == "vec":
+            v = v[0]
+        vals.append(v)
+    return vals
+
+
+def vmem_limit_params(inputs, out_shape, extra_bytes: int = 0, interpret=False):
+    """compiler_params kwargs sizing the scoped-VMEM limit to the kernel.
+
+    v5e has ~128 MB physical VMEM but the compiler's scoped default is
+    16 MB. 2x the operand footprint plus a 64 MB floor covers register
+    spills and VJP temporaries that escape the operand estimate; this only
+    raises the compiler's check, never allocations.
+    """
+    if interpret:
+        return {}
+    need = sum(math.prod(x.shape) * x.dtype.itemsize for x in inputs)
+    need += sum(4 * math.prod(s.shape) for s in out_shape)
+    need += extra_bytes
+    return {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                max(2 * need, 64 * 1024 * 1024), 120 * 1024 * 1024
+            )
+        )
+    }

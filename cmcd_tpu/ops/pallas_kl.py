@@ -37,6 +37,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cmcd_tpu.integrators.overdamped import OverdampedSpec
 from cmcd_tpu.integrators.underdamped import UnderdampedSpec
+from cmcd_tpu.ops.kernel_common import (
+    pack_consts,
+    unpack_consts,
+    vmem_limit_params,
+)
 from cmcd_tpu.ops.pallas_overdamped import LANE, _round_up
 
 
@@ -278,21 +283,6 @@ def evolve_kl_bwd_pallas(
     point_jaxpr = jax.make_jaxpr(point_fn)(*example)
     point_consts = point_jaxpr.consts
 
-    def pack_consts(raw):
-        shapes, arrays = [], []
-        for c in raw:
-            c = jnp.asarray(c, jnp.float32 if c.dtype == jnp.float64 else c.dtype)
-            if c.ndim == 0:
-                c = c.reshape(1, 1)
-                shapes.append(("scalar", c.shape))
-            elif c.ndim == 1:
-                c = c.reshape(1, -1)
-                shapes.append(("vec", c.shape))
-            else:
-                shapes.append(("arr", c.shape))
-            arrays.append(c)
-        return shapes, arrays
-
     const_shapes, const_inputs = pack_consts(point_consts)
 
     def kernel(*refs):
@@ -309,18 +299,7 @@ def evolve_kl_bwd_pallas(
 
         pid = pl.program_id(0)
 
-        def unpack(shapes, refs_):
-            vals = []
-            for (kind, shape), ref in zip(shapes, refs_):
-                v = ref[:]
-                if kind == "scalar":
-                    v = v[0, 0]
-                elif kind == "vec":
-                    v = v[0]
-                vals.append(v)
-            return vals
-
-        consts = unpack(const_shapes, const_refs)
+        consts = unpack_consts(const_shapes, const_refs)
         theta_vals = tuple(r[:] for r in theta_refs)
         c_row = c_ref[0:1, :]
 
@@ -398,20 +377,7 @@ def evolve_kl_bwd_pallas(
     )
     out_shape.append(jax.ShapeDtypeStruct((dim_pad, n_pad), jnp.float32))
 
-    kwargs = {}
-    if not interpret:
-        import math
-
-        need = sum(math.prod(x.shape) * x.dtype.itemsize for x in inputs)
-        need += sum(4 * math.prod(s.shape) for s in out_shape)
-        # Unconditional 64 MB floor: VJP register spills and activation
-        # temporaries are not captured by the input-size estimate (v5e has
-        # ~128 MB physical VMEM; this only raises the compiler's check).
-        kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=min(
-                max(2 * need, 64 * 1024 * 1024), 120 * 1024 * 1024
-            )
-        )
+    kwargs = vmem_limit_params(inputs, out_shape, interpret=interpret)
 
     outs = pl.pallas_call(
         kernel,
@@ -687,21 +653,6 @@ def evolve_kl_bwd_underdamped(
     point_jaxpr = jax.make_jaxpr(point_fn)(*example)
     point_consts = point_jaxpr.consts
 
-    def pack_consts(raw):
-        shapes, arrays = [], []
-        for c in raw:
-            c = jnp.asarray(c, jnp.float32 if c.dtype == jnp.float64 else c.dtype)
-            if c.ndim == 0:
-                c = c.reshape(1, 1)
-                shapes.append(("scalar", c.shape))
-            elif c.ndim == 1:
-                c = c.reshape(1, -1)
-                shapes.append(("vec", c.shape))
-            else:
-                shapes.append(("arr", c.shape))
-            arrays.append(c)
-        return shapes, arrays
-
     const_shapes, const_inputs = pack_consts(point_consts)
 
     def kernel(*refs):
@@ -719,18 +670,7 @@ def evolve_kl_bwd_underdamped(
 
         pid = pl.program_id(0)
 
-        def unpack(shapes, refs_):
-            vals = []
-            for (kind, shape), ref in zip(shapes, refs_):
-                v = ref[:]
-                if kind == "scalar":
-                    v = v[0, 0]
-                elif kind == "vec":
-                    v = v[0]
-                vals.append(v)
-            return vals
-
-        consts = unpack(const_shapes, const_refs)
+        consts = unpack_consts(const_shapes, const_refs)
         theta_vals = tuple(r[:] for r in theta_refs)
         c_row = c_ref[0:1, :]
 
@@ -812,20 +752,7 @@ def evolve_kl_bwd_underdamped(
     )
     out_shape.append(jax.ShapeDtypeStruct((dim_pad, n_pad), jnp.float32))
 
-    kwargs = {}
-    if not interpret:
-        import math
-
-        need = sum(math.prod(x.shape) * x.dtype.itemsize for x in inputs)
-        need += sum(4 * math.prod(s.shape) for s in out_shape)
-        # Unconditional 64 MB floor: VJP register spills and activation
-        # temporaries are not captured by the input-size estimate (v5e has
-        # ~128 MB physical VMEM; this only raises the compiler's check).
-        kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=min(
-                max(2 * need, 64 * 1024 * 1024), 120 * 1024 * 1024
-            )
-        )
+    kwargs = vmem_limit_params(inputs, out_shape, interpret=interpret)
 
     outs = pl.pallas_call(
         kernel,
@@ -982,21 +909,6 @@ def evolve_kl_bwd_uha(
     point_jaxpr = jax.make_jaxpr(point_fn)(*example)
     point_consts = point_jaxpr.consts
 
-    def pack_consts(raw):
-        shapes, arrays = [], []
-        for c in raw:
-            c = jnp.asarray(c, jnp.float32 if c.dtype == jnp.float64 else c.dtype)
-            if c.ndim == 0:
-                c = c.reshape(1, 1)
-                shapes.append(("scalar", c.shape))
-            elif c.ndim == 1:
-                c = c.reshape(1, -1)
-                shapes.append(("vec", c.shape))
-            else:
-                shapes.append(("arr", c.shape))
-            arrays.append(c)
-        return shapes, arrays
-
     const_shapes, const_inputs = pack_consts(point_consts)
 
     def kernel(*refs):
@@ -1014,18 +926,7 @@ def evolve_kl_bwd_uha(
 
         pid = pl.program_id(0)
 
-        def unpack(shapes, refs_):
-            vals = []
-            for (kind, shape), ref in zip(shapes, refs_):
-                v = ref[:]
-                if kind == "scalar":
-                    v = v[0, 0]
-                elif kind == "vec":
-                    v = v[0]
-                vals.append(v)
-            return vals
-
-        consts = unpack(const_shapes, const_refs)
+        consts = unpack_consts(const_shapes, const_refs)
         theta_vals = tuple(r[:] for r in theta_refs)
         c_row = c_ref[0:1, :]
 
@@ -1116,20 +1017,7 @@ def evolve_kl_bwd_uha(
     )
     out_shape.append(jax.ShapeDtypeStruct((dim_pad, n_pad), jnp.float32))
 
-    kwargs = {}
-    if not interpret:
-        import math
-
-        need = sum(math.prod(x.shape) * x.dtype.itemsize for x in inputs)
-        need += sum(4 * math.prod(s.shape) for s in out_shape)
-        # Unconditional 64 MB floor: VJP register spills and activation
-        # temporaries are not captured by the input-size estimate (v5e has
-        # ~128 MB physical VMEM; this only raises the compiler's check).
-        kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=min(
-                max(2 * need, 64 * 1024 * 1024), 120 * 1024 * 1024
-            )
-        )
+    kwargs = vmem_limit_params(inputs, out_shape, interpret=interpret)
 
     outs = pl.pallas_call(
         kernel,

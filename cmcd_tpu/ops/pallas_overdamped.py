@@ -39,6 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cmcd_tpu.integrators.overdamped import OverdampedSpec
+from cmcd_tpu.ops.kernel_common import vmem_limit_params
 
 LANE = 128
 
@@ -591,30 +592,14 @@ def evolve_overdamped_pallas(
             jax.ShapeDtypeStruct((nbridges, dim_pad, n_pad), jnp.float32)
         )
 
-    kwargs = {}
-    if not interpret:
-        # Ask for the scoped-VMEM the kernel actually needs instead of the
-        # conservative 16 MB default (v5e has ~128 MB physical VMEM). This
-        # lets (a) the raw trajectory output stay ON-CHIP between this
-        # kernel and the replay backward kernel, and (b) large-dim targets
-        # (LGCP: ~40 MB of score-net weights + a 10 MB precision matrix)
-        # run fused at all.
-        import math
-
-        need = sum(
-            math.prod(x.shape) * x.dtype.itemsize for x in inputs
-        )
-        need += sum(4 * math.prod(s.shape) for s in out_shape)
-        need += 10 * dim_pad * block * 4  # step temporaries headroom
-        # 2x + 64 MB floor: weight/constant VALUES loaded in the kernel body
-        # live in register-allocator spill slots on top of their input
-        # windows, and VJP temporaries escape the input-size estimate (v5e
-        # has ~128 MB physical VMEM; this only raises the compiler's check).
-        kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=min(
-                max(2 * need, 64 * 1024 * 1024), 120 * 1024 * 1024
-            )
-        )
+    # Sized scoped-VMEM (kernel_common): lets the raw trajectory output stay
+    # ON-CHIP between this kernel and the backward kernels, and lets
+    # large-dim targets (LGCP: ~40 MB of weights + a 10 MB precision
+    # matrix) run fused at all.
+    kwargs = vmem_limit_params(
+        inputs, out_shape, extra_bytes=10 * dim_pad * block * 4,
+        interpret=interpret,
+    )
     outs = pl.pallas_call(
         kernel,
         grid=(nblocks,),

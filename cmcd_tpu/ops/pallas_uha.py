@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cmcd_tpu.ops.kernel_common import vmem_limit_params
 from cmcd_tpu.ops.pallas_overdamped import LANE, _box_muller, _round_up
 
 
@@ -271,18 +272,10 @@ def evolve_uha_pallas(
                 )
             )
 
-    kwargs = {}
-    if not interpret:
-        import math
-
-        need = sum(math.prod(x.shape) * x.dtype.itemsize for x in inputs)
-        need += sum(4 * math.prod(sh.shape) for sh in out_shape)
-        need += 10 * dim_pad * block * 4
-        kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=min(
-                max(2 * need, 64 * 1024 * 1024), 120 * 1024 * 1024
-            )
-        )
+    kwargs = vmem_limit_params(
+        inputs, out_shape, extra_bytes=10 * dim_pad * block * 4,
+        interpret=interpret,
+    )
 
     outs = pl.pallas_call(
         kernel,

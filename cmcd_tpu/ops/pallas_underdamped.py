@@ -21,6 +21,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cmcd_tpu.integrators.underdamped import UnderdampedSpec
+from cmcd_tpu.ops.kernel_common import vmem_limit_params
 import math
 
 from cmcd_tpu.ops.pallas_overdamped import (
@@ -400,16 +401,10 @@ def evolve_underdamped_pallas(
                 )
             )
 
-    kwargs = {}
-    if not interpret:
-        need = sum(math.prod(x.shape) * x.dtype.itemsize for x in inputs)
-        need += sum(4 * math.prod(s.shape) for s in out_shape)
-        need += 10 * dim_pad * block * 4
-        kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=min(
-                max(2 * need, 64 * 1024 * 1024), 120 * 1024 * 1024
-            )
-        )
+    kwargs = vmem_limit_params(
+        inputs, out_shape, extra_bytes=10 * dim_pad * block * 4,
+        interpret=interpret,
+    )
 
     outs = pl.pallas_call(
         kernel,

@@ -56,6 +56,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cmcd_tpu.integrators.overdamped import OverdampedSpec
+from cmcd_tpu.ops.kernel_common import pack_consts, unpack_consts
 from cmcd_tpu.ops.pallas_overdamped import (
     LANE,
     _box_muller,
@@ -265,21 +266,6 @@ def evolve_vargrad_bwd_replay(
     point_jaxpr = jax.make_jaxpr(grad_fn)(*example)
     point_consts = point_jaxpr.consts
 
-    def pack_consts(raw):
-        shapes, arrays = [], []
-        for c in raw:
-            c = jnp.asarray(c, jnp.float32 if c.dtype == jnp.float64 else c.dtype)
-            if c.ndim == 0:
-                c = c.reshape(1, 1)
-                shapes.append(("scalar", c.shape))
-            elif c.ndim == 1:
-                c = c.reshape(1, -1)
-                shapes.append(("vec", c.shape))
-            else:
-                shapes.append(("arr", c.shape))
-            arrays.append(c)
-        return shapes, arrays
-
     const_shapes, const_inputs = pack_consts(point_consts)
     n_theta = len(theta)
 
@@ -305,18 +291,7 @@ def evolve_vargrad_bwd_replay(
         w_id = pl.program_id(0)
         c_id = pl.program_id(1)
 
-        def unpack(shapes, refs_):
-            vals = []
-            for (kind, shape), ref in zip(shapes, refs_):
-                v = ref[:]
-                if kind == "scalar":
-                    v = v[0, 0]
-                elif kind == "vec":
-                    v = v[0]
-                vals.append(v)
-            return vals
-
-        consts = unpack(const_shapes, const_refs)
+        consts = unpack_consts(const_shapes, const_refs)
         theta_vals = tuple(r[:] for r in theta_refs)
         c_row = c_ref[0:1, :]
         # Mosaic lowers dynamic indexing on REFS, not values: neighbors at
@@ -643,21 +618,6 @@ def evolve_vargrad_bwd_pallas(
     gt_jaxpr = jax.make_jaxpr(lambda z: grad_logp_t(z))(zb)
     gt_consts_raw = gt_jaxpr.consts
 
-    def pack_consts(raw):
-        shapes, arrays = [], []
-        for c in raw:
-            c = jnp.asarray(c, jnp.float32 if c.dtype == jnp.float64 else c.dtype)
-            if c.ndim == 0:
-                c = c.reshape(1, 1)
-                shapes.append(("scalar", c.shape))
-            elif c.ndim == 1:
-                c = c.reshape(1, -1)
-                shapes.append(("vec", c.shape))
-            else:
-                shapes.append(("arr", c.shape))
-            arrays.append(c)
-        return shapes, arrays
-
     const_shapes, const_inputs = pack_consts(point_consts)
     gt_const_shapes, gt_const_inputs = pack_consts(gt_consts_raw)
 
@@ -682,19 +642,8 @@ def evolve_vargrad_bwd_pallas(
         if not inject_noise:
             pltpu.prng_seed(seed_ref[0, 0] + pid)
 
-        def unpack(shapes, refs_):
-            vals = []
-            for (kind, shape), ref in zip(shapes, refs_):
-                v = ref[:]
-                if kind == "scalar":
-                    v = v[0, 0]
-                elif kind == "vec":
-                    v = v[0]
-                vals.append(v)
-            return vals
-
-        consts = unpack(const_shapes, const_refs)
-        gt_consts = unpack(gt_const_shapes, gt_const_refs)
+        consts = unpack_consts(const_shapes, const_refs)
+        gt_consts = unpack_consts(gt_const_shapes, gt_const_refs)
         theta_vals = tuple(r[:] for r in theta_refs)
         c_row = c_ref[0:1, :]
 
