@@ -341,7 +341,10 @@ def main():
                 "unit": "chain-steps/s",
                 "vs_baseline": round(native_tput / ref_tput, 3),
                 "detail": {
-                    "config": f"many_gmm MCD_CAIS_var_sn N={n} K={nbridges}",
+                    "config": (
+                        f"many_gmm MCD_CAIS_var_sn N={n} K={nbridges} "
+                        "emb_dim=48 geffner"
+                    ),
                     "native_path": native_path,
                     "iters_per_group": iters,
                     "repeats": repeats,

@@ -76,6 +76,28 @@ RECIPES = {
         ln_z_true=None,
         ln_z_tol=None,
     ),
+    # README.md 40-GMM KL recipe with the PIS ("dds") net — the reference's
+    # own published flag set; runs on the fused KL (BPTT) kernel path.
+    "many_gmm_kl_dds": dict(
+        flags={
+            "model": "many_gmm",
+            "boundmode": "MCD_CAIS_sn",
+            "N": 2000,
+            "nbridges": 256,
+            "pretrain_mfvi": False,
+            "init_sigma": 60,
+            "grad_clipping": True,
+            "init_eps": 1.0,
+            "eps_schedule": "cos_sq",
+            "lr": 0.001,
+            "train_eps": False,
+            "train_vi": False,
+            "nn_arch": "dds",
+            "iters": 5000,
+        },
+        ln_z_true=0.0,
+        ln_z_tol=0.25,
+    ),
     # 2-mode GMM with plain ULA (driver config #1), CPU-runnable.
     "gmm_ula": dict(
         flags={
