@@ -134,6 +134,9 @@ def get_config() -> ml_collections.ConfigDict:
     config.use_pallas_train = True
     config.checkpoint_dir = ""
     config.checkpoint_every = 0  # 0 = disabled
+    # Optimizer steps fused into one jitted dispatch (0 = auto, up to 100;
+    # amortizes per-dispatch host overhead — see train/trainer.py).
+    config.steps_per_call = 0
     config.resume = False
     # Training-time sample plots + W2 (reference plots every 1% of iters,
     # src/opt.py:109-120); "" disables. Plots land as plot_dir/samples_N.png.

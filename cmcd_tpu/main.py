@@ -227,6 +227,7 @@ def run_experiment(config, logger: MetricLogger | None = None):
         checkpoint_every=config.checkpoint_every,
         resume=config.resume,
         profile_dir=config.profile_dir,
+        steps_per_call=config.steps_per_call,
     )
     if result.diverged:
         print("Diverged at step %d; evaluating last finite params." % result.steps_done)
