@@ -153,6 +153,28 @@ def default_block(dim: int) -> int:
     return 128
 
 
+def choose_block(dim: int, n_chains: int, *, traj_arrays: int = 0,
+                 nbridges: int = 0) -> int:
+    """Chain-block width for a concrete call.
+
+    Caps default_block by the actual chain count (N=300 on a 1024 block
+    wastes 3.4x the columns) and, for training paths that store
+    per-step residuals (traj_arrays = stored (K+1, dim_pad, n_pad) arrays:
+    1 for the VarGrad replay, 2 for overdamped KL, 3 for underdamped/UHA),
+    shrinks the block until one block's residual slice fits a ~64 MB VMEM
+    share — past that XLA stack-allocates the residuals on-chip and blows
+    the 128 MB physical budget (seen: sonar K=256 dim_pad 64 at block
+    1024: 2 x 67 MB residuals -> 131.6 MB > 128 MB)."""
+    lane = 128
+    block = default_block(dim)
+    block = min(block, -(-n_chains // lane) * lane)
+    if traj_arrays:
+        per_col = traj_arrays * (nbridges + 1) * _dim_pad(dim) * 4
+        while block > lane and per_col * block > 64 * 1024 * 1024:
+            block -= lane
+    return block
+
+
 def supports_fused_train(setup: bounds.CMCDSetup, target) -> bool:
     """True if a fully-fused Pallas training loss can run: the VarGrad mode
     (ops/fused_train.var_bound_pallas, batched-replay backward) or an
@@ -202,7 +224,7 @@ def compute_elbos_fused(
     dim = setup.dim
     dim_pad = _dim_pad(dim)
     if block is None:
-        block = default_block(dim)
+        block = choose_block(dim, n_chains)
 
     z_key, evolve_key = jax.random.split(key)
     z0 = diag_gaussian_sample(z_key, p["vd"], n_chains)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from cmcd_tpu import bounds
 from cmcd_tpu.distributions import diag_gaussian_log_prob
 from cmcd_tpu.integrators import overdamped as od
-from cmcd_tpu.ops.fused import _dim_pad, default_block
+from cmcd_tpu.ops.fused import _dim_pad, choose_block
 from cmcd_tpu.ops.pallas_overdamped import evolve_overdamped_pallas, pack_geffner_t
 from cmcd_tpu.ops.pallas_vargrad import (
     evolve_vargrad_bwd_pallas,
@@ -200,7 +200,9 @@ def neg_elbos_pallas(
     p = bounds.merged_params(params)
     dim = setup.dim
     if block is None:
-        block = default_block(dim)
+        block = choose_block(
+            dim, n_chains, traj_arrays=1, nbridges=setup.nbridges
+        )
 
     z_key, e_key = jax.random.split(key)
     # Reparameterized initial draw: the -log q(z0(theta)) term carries the
@@ -634,7 +636,13 @@ def neg_elbos_pallas_kl(
         f"not {setup.mode}"
     )
     if block is None:
-        block = default_block(setup.dim)
+        # Stored residuals: traj + noise for overdamped, + momentum for
+        # the underdamped family and UHA.
+        n_arrays = 2 if setup.mode in _PALLAS_SPECS else 3
+        block = choose_block(
+            setup.dim, n_chains, traj_arrays=n_arrays,
+            nbridges=setup.nbridges,
+        )
     if setup.mode == "UHA":
         return _neg_elbos_pallas_kl_uha(
             params, key, n_chains, ctx, setup, target,
@@ -648,8 +656,6 @@ def neg_elbos_pallas_kl(
     spec = _PALLAS_SPECS[setup.mode]
     p = bounds.merged_params(params)
     dim = setup.dim
-    if block is None:
-        block = default_block(dim)
 
     z_key, e_key = jax.random.split(key)
     base = jax.random.normal(z_key, (n_chains, dim))
