@@ -304,3 +304,16 @@ def test_pallas_dnf_forward_matches_scan():
     onp.testing.assert_allclose(
         onp.asarray(w_scan), onp.asarray(w_pal), atol=5e-4, rtol=1e-4
     )
+
+
+def test_choose_block_caps():
+    from cmcd_tpu.ops.fused import choose_block
+
+    # Capped by the padded chain count (N=300 -> 384 columns, not 1024).
+    assert choose_block(2, 300) == 384
+    assert choose_block(2, 2000) == 1024
+    # Stored-residual cap: sonar-shaped KL training (dim_pad 64, K=256,
+    # traj+noise) must shrink below 1024 or the residuals exceed VMEM.
+    assert choose_block(61, 2000, traj_arrays=2, nbridges=256) <= 512
+    # Flagship (dim_pad 8) is unaffected.
+    assert choose_block(2, 2000, traj_arrays=1, nbridges=256) == 1024
