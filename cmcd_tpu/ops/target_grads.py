@@ -180,6 +180,87 @@ def make_many_gmm_grad_t(dim_pad: int, n_mixes: int = 40, loc_scaling: float = 4
     return grad_t
 
 
+def make_banana_grad_t(dim_pad: int, curvature: float = 0.03):
+    """inference_gym Banana (targets/gym.py make_banana):
+    lp = N(x0; 0, 10) + N(x1; c (x0^2 - 100), 1).
+    d/dx0 = -x0/100 + 2 c x0 r, d/dx1 = -r with r = x1 - c (x0^2 - 100)."""
+
+    def grad_t(z_t):
+        x0 = z_t[0:1, :]
+        x1 = z_t[1:2, :]
+        r = x1 - curvature * (x0 * x0 - 100.0)
+        g0 = -x0 / 100.0 + 2.0 * curvature * x0 * r
+        g1 = -r
+        return jnp.concatenate(
+            [g0, g1, jnp.zeros((z_t.shape[0] - 2, z_t.shape[1]), z_t.dtype)],
+            axis=0,
+        )
+
+    return grad_t
+
+
+def make_brownian_grad_t(dim_pad: int):
+    """Brownian motion with unknown scales (targets/gym.py make_brownian).
+
+    Rows: [u_inn, u_obs, x_0..x_29]. With s_i = e^{u_inn}, s_o = e^{u_obs},
+    d_t the innovations and e_t the observation residuals:
+      d/dx_t     = (-d_t + d_{t+1})/s_i^2 + obs terms e_t/s_o^2
+      d/du_inn   = sum d_t^2/s_i^2 - 30 - u_inn/4
+      d/du_obs   = sum e_t^2/s_o^2 - 20 - u_obs/4
+    (the -T terms are the Exp-bijector/normalizer derivative of -T u)."""
+    from cmcd_tpu.targets.gym import _BROWNIAN_OBS_FIRST, _BROWNIAN_OBS_LAST
+
+    y_first = jnp.asarray(_BROWNIAN_OBS_FIRST, jnp.float32)[:, None]
+    y_last = jnp.asarray(_BROWNIAN_OBS_LAST, jnp.float32)[:, None]
+    nt = 30
+    dim = nt + 2
+    assert dim_pad >= dim
+
+    def grad_t(z_t):
+        b = z_t.shape[1]
+        u_inn = z_t[0:1, :]
+        u_obs = z_t[1:2, :]
+        x = z_t[2 : 2 + nt, :]
+        inv_i2 = jnp.exp(-2.0 * u_inn)  # (1, B)
+        inv_o2 = jnp.exp(-2.0 * u_obs)
+
+        d = jnp.concatenate([x[0:1], x[1:] - x[:-1]], axis=0)  # (30, B)
+        d_next = jnp.concatenate([d[1:], jnp.zeros((1, b), z_t.dtype)], axis=0)
+        gx = (-d + d_next) * inv_i2
+
+        e_first = y_first - x[:10]
+        e_last = y_last - x[20:]
+        gx = jnp.concatenate(
+            [
+                gx[:10] + e_first * inv_o2,
+                gx[10:20],
+                gx[20:] + e_last * inv_o2,
+            ],
+            axis=0,
+        )
+
+        g_ui = (
+            jnp.sum(d * d, axis=0, keepdims=True) * inv_i2
+            - float(nt)
+            - u_inn / 4.0
+        )
+        g_uo = (
+            (
+                jnp.sum(e_first * e_first, axis=0, keepdims=True)
+                + jnp.sum(e_last * e_last, axis=0, keepdims=True)
+            )
+            * inv_o2
+            - 20.0
+            - u_obs / 4.0
+        )
+        parts = [g_ui, g_uo, gx]
+        if dim_pad > dim:  # a 0-row operand is an invalid Mosaic vector
+            parts.append(jnp.zeros((dim_pad - dim, b), z_t.dtype))
+        return jnp.concatenate(parts, axis=0)
+
+    return grad_t
+
+
 def make_logreg_grad_t(dset: str, dim: int, dim_pad: int):
     """Bayesian logistic regression (targets/logreg.py):
     grad = -w + X^T (y - sigmoid(Xw)). MXU matmuls in both directions."""
@@ -305,6 +386,10 @@ TARGET_GRAD_T_BUILDERS = {
     "funnel": _build_funnel,
     "gmm": lambda target, dim_pad: make_gmm_grad_t(dim_pad),
     "many_gmm": _build_many_gmm,
+    "banana": lambda target, dim_pad: make_banana_grad_t(
+        dim_pad, curvature=target.params.get("curvature", 0.03)
+    ),
+    "brownian": lambda target, dim_pad: make_brownian_grad_t(dim_pad),
     "log_sonar": _build_logreg,
     "log_ionosphere": _build_logreg,
     "log_australian": _build_logreg,

@@ -127,3 +127,15 @@ def test_lgcp_grad_t_whitened():
     want = onp.asarray(autodiff_grad(t, w))
     got = onp.asarray(grad_t(w.T))
     onp.testing.assert_allclose(got.T, want, atol=2e-2, rtol=1e-3)
+
+
+def test_banana_grad_t():
+    t = load_target("banana")
+    check(t, tg.make_banana_grad_t(8), 8, scale=5.0)
+
+
+def test_brownian_grad_t():
+    t = load_target("brownian")
+    check(t, tg.make_brownian_grad_t(32), 32, scale=0.7, atol=3e-4)
+    # Registry wiring.
+    assert tg.grad_t_for_target(t, 32) is not None
