@@ -261,6 +261,57 @@ def make_brownian_grad_t(dim_pad: int):
     return grad_t
 
 
+def make_seeds_grad_t(dim_pad: int):
+    """Seeds random-effects GLMM (targets/seeds.py), 26-D.
+
+    Rows: [a_0, a_1, a_12, a_2, b_1..b_21, u_tau]. With
+    s_j = R_j - N_j sigmoid(logits_j) (the Binomial score) and tau = e^u:
+      d/da_*   = sum_j s_j * x_*j - a_*/100
+      d/db_j   = s_j - b_j tau
+      d/du_tau = alpha - rate*tau + 21/2 - (tau/2) sum_j b_j^2
+    (alpha = rate = 0.01; the +1 exp-Jacobian and the (alpha-1) prior terms
+    combine into alpha; +21/2 from the b-prior's +u/2 per effect)."""
+    import jax
+
+    from cmcd_tpu.targets import seeds as S
+
+    r_col = jnp.asarray(S._R, jnp.float32)[:, None]
+    n_col = jnp.asarray(S._N, jnp.float32)[:, None]
+    x1 = jnp.asarray(S._X1, jnp.float32)[:, None]
+    x2 = jnp.asarray(S._X2, jnp.float32)[:, None]
+    x12 = x1 * x2
+    dim = 26
+    assert dim_pad >= dim
+
+    def grad_t(z_t):
+        b_cols = z_t.shape[1]
+        a0, a1, a12, a2 = (z_t[k : k + 1, :] for k in range(4))
+        b = z_t[4:25, :]  # (21, B)
+        u_tau = z_t[25:26, :]
+        tau = jnp.exp(u_tau)
+
+        logits = a0 + a1 * x1 + a2 * x2 + a12 * x12 + b
+        s = r_col - n_col * jax.nn.sigmoid(logits)  # (21, B)
+
+        g_a0 = jnp.sum(s, axis=0, keepdims=True) - a0 / 100.0
+        g_a1 = jnp.sum(s * x1, axis=0, keepdims=True) - a1 / 100.0
+        g_a12 = jnp.sum(s * x12, axis=0, keepdims=True) - a12 / 100.0
+        g_a2 = jnp.sum(s * x2, axis=0, keepdims=True) - a2 / 100.0
+        g_b = s - b * tau
+        g_u = (
+            0.01
+            - 0.01 * tau
+            + 10.5
+            - 0.5 * tau * jnp.sum(b * b, axis=0, keepdims=True)
+        )
+        parts = [g_a0, g_a1, g_a12, g_a2, g_b, g_u]
+        if dim_pad > dim:
+            parts.append(jnp.zeros((dim_pad - dim, b_cols), z_t.dtype))
+        return jnp.concatenate(parts, axis=0)
+
+    return grad_t
+
+
 def make_logreg_grad_t(dset: str, dim: int, dim_pad: int):
     """Bayesian logistic regression (targets/logreg.py):
     grad = -w + X^T (y - sigmoid(Xw)). MXU matmuls in both directions."""
@@ -390,6 +441,7 @@ TARGET_GRAD_T_BUILDERS = {
         dim_pad, curvature=target.params.get("curvature", 0.03)
     ),
     "brownian": lambda target, dim_pad: make_brownian_grad_t(dim_pad),
+    "seeds": lambda target, dim_pad: make_seeds_grad_t(dim_pad),
     "log_sonar": _build_logreg,
     "log_ionosphere": _build_logreg,
     "log_australian": _build_logreg,

@@ -193,9 +193,16 @@ def test_supports_fused_gating():
         bounds.CMCDSetup(mode="MCD_ULA", dim=10, nbridges=4, nn_arch="dds"),
         target,
     )
+    # seeds gained an analytic transposed score in round 2.
     seeds_target = cmcd_tpu.load_target("seeds")
-    assert not supports_fused(
+    assert supports_fused(
         bounds.CMCDSetup(mode="MCD_CAIS_sn", dim=26, nbridges=4), seeds_target
+    )
+    # lorenz has no registered transposed score -> scan fallback.
+    lorenz_target = cmcd_tpu.load_target("lorenz")
+    assert not supports_fused(
+        bounds.CMCDSetup(mode="MCD_CAIS_sn", dim=lorenz_target.dim, nbridges=4),
+        lorenz_target,
     )
 
 

@@ -70,8 +70,9 @@ def test_logreg_grad_t(dset, name):
 def test_registry():
     t = load_target("many_gmm")
     assert tg.grad_t_for_target(t, 8) is not None
-    t2 = load_target("seeds")
-    assert tg.grad_t_for_target(t2, 32) is None
+    # seeds gained an analytic transposed score in round 2; lorenz has none.
+    assert tg.grad_t_for_target(load_target("seeds"), 32) is not None
+    assert tg.grad_t_for_target(load_target("lorenz"), 96) is None
 
 
 def test_registry_honors_construction_params():
@@ -138,4 +139,10 @@ def test_brownian_grad_t():
     t = load_target("brownian")
     check(t, tg.make_brownian_grad_t(32), 32, scale=0.7, atol=3e-4)
     # Registry wiring.
+    assert tg.grad_t_for_target(t, 32) is not None
+
+
+def test_seeds_grad_t():
+    t = load_target("seeds")
+    check(t, tg.make_seeds_grad_t(32), 32, scale=0.5, atol=3e-4)
     assert tg.grad_t_for_target(t, 32) is not None
