@@ -312,6 +312,91 @@ def make_seeds_grad_t(dim_pad: int):
     return grad_t
 
 
+def make_lorenz_grad_t(dim_pad: int, *, num_timesteps: int, dt: float,
+                       innovation_scale: float, obs_scale: float,
+                       obs_first, obs_last):
+    """Convection Lorenz bridge (targets/gym.py make_lorenz), 90-D
+    (reference src/model_handler.py:46-57).
+
+    Layout: rows t*3 + c hold x[t, c]. With pred_t = x_t + dt * f(x_t)
+    (f the Lorenz-63 drift) and residuals R_t = (x_{t+1} - pred_t)/s^2,
+    s = innovation_scale * sqrt(dt):
+      d/dx_0     += -x_0                          (standard-normal init)
+      d/dx_{t+1} += -R_t
+      d/dx_t     += (I + dt * Jf(x_t))^T R_t
+      d/dx[t,0]  += (y_t - x[t,0]) / obs_scale^2  (t in [0,10) and [20,30))
+    The per-component rows are gathered/scattered with three constant
+    selector matmuls (strided sublane slices do not lower in Mosaic).
+    """
+    import numpy as onp
+
+    nt = num_timesteps
+    dim = 3 * nt
+    assert dim_pad >= dim
+    sel = onp.zeros((3, nt, dim_pad), onp.float32)
+    for c in range(3):
+        sel[c, onp.arange(nt), 3 * onp.arange(nt) + c] = 1.0
+    sel_a, sel_b, sel_c = (jnp.asarray(s) for s in sel)
+    # Both orientations as HOST constants: an in-kernel transpose trips the
+    # XLA:TPU MXU transpose pass once a VJP adds reverse-orientation matmuls
+    # (same hazard as make_logreg_grad_t).
+    sel_a_t, sel_b_t, sel_c_t = (jnp.asarray(s.T.copy()) for s in sel)
+    y_first = jnp.asarray(obs_first, jnp.float32)[:, None]
+    y_last = jnp.asarray(obs_last, jnp.float32)[:, None]
+    inv_s2 = 1.0 / (innovation_scale * innovation_scale * dt)
+    inv_o2 = 1.0 / (obs_scale * obs_scale)
+    n_obs = y_first.shape[0]
+
+    def grad_t(z_t):
+        bsz = z_t.shape[1]
+        dot = lambda m, v: jnp.dot(m, v, preferred_element_type=jnp.float32)
+        a = dot(sel_a, z_t)  # (nt, B) component 0
+        b = dot(sel_b, z_t)
+        c = dot(sel_c, z_t)
+
+        a0, b0, c0 = a[:-1], b[:-1], c[:-1]  # x_t, t = 0..nt-2
+        # Lorenz-63 drift at x_t.
+        fa = 10.0 * (b0 - a0)
+        fb = a0 * (28.0 - c0) - b0
+        fc = a0 * b0 - (8.0 / 3.0) * c0
+        ra = (a[1:] - (a0 + dt * fa)) * inv_s2
+        rb = (b[1:] - (b0 + dt * fb)) * inv_s2
+        rc = (c[1:] - (c0 + dt * fc)) * inv_s2
+
+        # (I + dt Jf)^T R at x_t.
+        ja = ra + dt * (-10.0 * ra + (28.0 - c0) * rb + b0 * rc)
+        jb = rb + dt * (10.0 * ra - rb + a0 * rc)
+        jc = rc + dt * (-a0 * rb - (8.0 / 3.0) * rc)
+
+        zero1 = jnp.zeros((1, bsz), z_t.dtype)
+        ga = (
+            jnp.concatenate([-a[0:1], -ra], axis=0)
+            + jnp.concatenate([ja, zero1], axis=0)
+        )
+        gb = (
+            jnp.concatenate([-b[0:1], -rb], axis=0)
+            + jnp.concatenate([jb, zero1], axis=0)
+        )
+        gc = (
+            jnp.concatenate([-c[0:1], -rc], axis=0)
+            + jnp.concatenate([jc, zero1], axis=0)
+        )
+        # Observations on component 0 at the first/last n_obs timesteps.
+        ga = ga + jnp.concatenate(
+            [
+                (y_first - a[:n_obs]) * inv_o2,
+                jnp.zeros((nt - 2 * n_obs, bsz), z_t.dtype),
+                (y_last - a[nt - n_obs :]) * inv_o2,
+            ],
+            axis=0,
+        )
+        return (
+            dot(sel_a_t, ga) + dot(sel_b_t, gb) + dot(sel_c_t, gc)
+        )
+
+    return grad_t
+
+
 def make_logreg_grad_t(dset: str, dim: int, dim_pad: int):
     """Bayesian logistic regression (targets/logreg.py):
     grad = -w + X^T (y - sigmoid(Xw)). MXU matmuls in both directions."""
@@ -430,6 +515,23 @@ def _build_logreg(target, dim_pad):
     return make_logreg_grad_t(target.params.get("dset"), target.dim, dim_pad)
 
 
+def _build_lorenz(target, dim_pad):
+    p = target.params
+    # A lorenz Target built without its recorded observations (pre-round-3
+    # pickles) cannot be integrated exactly -> scan fallback.
+    if "obs_first" not in p:
+        return None
+    return make_lorenz_grad_t(
+        dim_pad,
+        num_timesteps=p["num_timesteps"],
+        dt=p["dt"],
+        innovation_scale=p["innovation_scale"],
+        obs_scale=p["obs_scale"],
+        obs_first=p["obs_first"],
+        obs_last=p["obs_last"],
+    )
+
+
 # Every builder consumes the Target's recorded construction params so the
 # kernel integrates exactly the density the batched log_prob defines; a
 # builder returns None (-> scan fallback) for combinations it cannot honor.
@@ -448,6 +550,7 @@ TARGET_GRAD_T_BUILDERS = {
     "log_a1a": _build_logreg,
     "log_madelon": _build_logreg,
     "lgcp": _build_lgcp,
+    "lorenz": _build_lorenz,
 }
 
 

@@ -51,7 +51,15 @@ def make_banana(curvature: float = 0.03) -> Target:
         x1 = curvature * (x0**2 - 100.0) + jax.random.normal(k1, (n,))
         return jnp.stack([x0, x1], axis=-1)
 
-    return Target(name="banana", dim=2, log_prob=log_prob, sample=sample)
+    return Target(
+        name="banana",
+        dim=2,
+        log_prob=log_prob,
+        sample=sample,
+        # Recorded so the fused-kernel gradient registry (ops/target_grads.py)
+        # integrates exactly this density for non-default curvatures.
+        params={"curvature": curvature},
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -171,4 +179,20 @@ def make_lorenz() -> Target:
         lp += jnp.sum(_norm_logpdf(obs_last, x[:, 20:, 0], obs_scale), axis=-1)
         return lp
 
-    return Target(name="lorenz", dim=dim, log_prob=log_prob)
+    return Target(
+        name="lorenz",
+        dim=dim,
+        log_prob=log_prob,
+        # The concrete observation vectors (self-generated, see module
+        # docstring) are recorded so the transposed-score builder
+        # (ops/target_grads.make_lorenz_grad_t) differentiates exactly this
+        # density.
+        params={
+            "num_timesteps": num_timesteps,
+            "dt": dt,
+            "innovation_scale": innovation_scale,
+            "obs_scale": obs_scale,
+            "obs_first": obs_first,
+            "obs_last": obs_last,
+        },
+    )

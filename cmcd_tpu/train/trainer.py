@@ -138,6 +138,19 @@ def train(
         steps_per_call = next(
             d for d in range(min(span, 100), 0, -1) if span % d == 0
         )
+        if steps_per_call == 1 and span > 100:
+            # e.g. a prime iters (40013) or checkpoint_every: the no-tail
+            # constraint forces chunk 1 and each step pays the ~0.5 ms
+            # dispatch cost the chunking exists to amortize.
+            import warnings
+
+            warnings.warn(
+                f"auto steps_per_call degraded to 1 (iters={iters}, "
+                f"checkpoint_every={checkpoint_every} share no divisor in "
+                "[2, 100]); pick iters with a small divisor to amortize "
+                "per-step dispatch",
+                stacklevel=2,
+            )
     chunk = max(steps_per_call, 1)
     if (iters - 0) % chunk != 0 and iters > 0:
         raise ValueError(

@@ -198,11 +198,37 @@ def test_supports_fused_gating():
     assert supports_fused(
         bounds.CMCDSetup(mode="MCD_CAIS_sn", dim=26, nbridges=4), seeds_target
     )
-    # lorenz has no registered transposed score -> scan fallback.
+    # lorenz gained an analytic transposed score in round 3 — every
+    # BASELINE target is now fused-eligible.
     lorenz_target = cmcd_tpu.load_target("lorenz")
-    assert not supports_fused(
+    assert supports_fused(
         bounds.CMCDSetup(mode="MCD_CAIS_sn", dim=lorenz_target.dim, nbridges=4),
         lorenz_target,
+    )
+
+
+def test_lorenz_pallas_matches_scan():
+    """Fused CAIS rollout on the 90-D lorenz bridge (round-3 transposed
+    score) must match the scan integrator under injected noise."""
+    target = cmcd_tpu.load_target("lorenz")
+    _, params, betas, ctx, key, z0, noise = setup_case(
+        "MCD_CAIS_sn", grad_clipping=True, target=target, n=128, nb=4
+    )
+    dim = target.dim
+    dim_pad = 96
+    z_scan, w_scan, _ = od.evolve_overdamped(
+        key, z0, betas, params, ctx, od.CAIS, noise=noise
+    )
+    weights, meta = pack_geffner_t(params["sn"], dim, dim_pad)
+    grad_t = tg.grad_t_for_target(target, dim_pad)
+    z_pal, w_pal = evolve_overdamped_pallas(
+        z0, jnp.zeros(z0.shape[0]), betas, params["eps"],
+        params["vd"]["mean"], params["vd"]["logdiag"], grad_t, od.CAIS,
+        dim=dim, nbridges=ctx.nbridges, sn_weights=weights, sn_meta=meta,
+        grad_clipping=True, noise=noise, block=128, interpret=True,
+    )
+    onp.testing.assert_allclose(
+        onp.asarray(w_scan), onp.asarray(w_pal), atol=1e-3, rtol=1e-4
     )
 
 

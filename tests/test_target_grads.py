@@ -70,9 +70,10 @@ def test_logreg_grad_t(dset, name):
 def test_registry():
     t = load_target("many_gmm")
     assert tg.grad_t_for_target(t, 8) is not None
-    # seeds gained an analytic transposed score in round 2; lorenz has none.
+    # seeds gained an analytic transposed score in round 2, lorenz in round 3
+    # — every BASELINE target is now covered.
     assert tg.grad_t_for_target(load_target("seeds"), 32) is not None
-    assert tg.grad_t_for_target(load_target("lorenz"), 96) is None
+    assert tg.grad_t_for_target(load_target("lorenz"), 96) is not None
 
 
 def test_registry_honors_construction_params():
@@ -133,6 +134,18 @@ def test_lgcp_grad_t_whitened():
 def test_banana_grad_t():
     t = load_target("banana")
     check(t, tg.make_banana_grad_t(8), 8, scale=5.0)
+    # Registry wiring must honor a non-default curvature (the Target records
+    # it in params; a mismatch would integrate the wrong density).
+    from cmcd_tpu.targets.gym import make_banana
+
+    t2 = make_banana(curvature=0.1)
+    check(t2, tg.grad_t_for_target(t2, 8), 8, scale=5.0)
+
+
+def test_lorenz_grad_t():
+    t = load_target("lorenz")
+    check(t, tg.make_lorenz_grad_t(96, **t.params), 96, scale=1.0, atol=3e-4)
+    assert tg.grad_t_for_target(t, 96) is not None
 
 
 def test_brownian_grad_t():
