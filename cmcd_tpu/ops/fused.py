@@ -72,24 +72,62 @@ _VMEM_BUDGET = 96 * 1024 * 1024
 _VMEM_TRAIN_BUDGET = 48 * 1024 * 1024
 
 
+def _leaf_bytes(tree) -> int:
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(tree):
+        size = getattr(leaf, "size", 1)
+        itemsize = jnp.dtype(getattr(leaf, "dtype", jnp.float32)).itemsize
+        total += int(size) * itemsize
+    return total
+
+
+def _packed_sn_bytes(setup: bounds.CMCDSetup) -> int:
+    """Exact bytes of the arch's packed kernel weights, computed via
+    jax.eval_shape of the same init + pack functions the fused paths use
+    (no arrays are materialized). Replaces the round-2 geffner-only formula
+    that mis-sized PIS ("dds"/"dds_grad") configurations."""
+    if setup.mode in _SN_FREE_MODES:
+        return 0
+    from cmcd_tpu import integrators
+    from cmcd_tpu.networks import build_score_network
+
+    dim_pad = _dim_pad(setup.dim)
+    rho_dim = integrators.mode_sn_rho_dim(setup.mode, setup.dim)
+
+    def sized(rho):
+        init_sn, _ = build_score_network(
+            setup.dim,
+            setup.emb_dim,
+            setup.nbridges,
+            rho_dim=rho,
+            nlayers=setup.nlayers,
+            arch=setup.nn_arch,
+            fully_connected_units=list(setup.fully_connected_units),
+            # The packers never trace the score feature; a zero stand-in
+            # keeps eval_shape target-free.
+            target_log_prob=lambda z: jnp.zeros(z.shape[0]),
+        )
+        params = jax.eval_shape(init_sn, jax.random.PRNGKey(0))
+        # pack_geffner_ud_t differs from pack_geffner_t only in meta, not
+        # array sizes, so the overdamped packer sizes both correctly.
+        weights = jax.eval_shape(
+            lambda p: _pack_net(setup.nn_arch)(p, setup.dim, dim_pad)[0],
+            params,
+        )
+        return _leaf_bytes(weights)
+
+    total = sized(rho_dim)
+    if setup.mode == "MCD_DNF":  # second backward net (rho-free)
+        total += sized(0)
+    return total
+
+
 def _vmem_estimate(setup: bounds.CMCDSetup, target, block: int) -> int:
     """Rough bytes the kernel must keep on-core: chain-state temporaries,
-    score-net weights, and the target-score constants."""
+    score-net weights (exact packed sizes), and target-score constants."""
     dim_pad = _dim_pad(setup.dim)
     state = 8 * dim_pad * block * 4  # z/fk/bk/noise/... temporaries
-    sn_bytes = 0
-    if setup.mode not in _SN_FREE_MODES:
-        rho_dim = setup.dim if setup.mode in (
-            "MCD_U_a-lp-sn", "MCD_U_ea-lp-sn", "MCD_CAIS_UHA_sn"
-        ) else 0
-        in_dim = setup.dim + rho_dim + setup.emb_dim
-        # residual layers + head + selectors + embedding table
-        sn_bytes = 4 * (
-            setup.nlayers * in_dim * in_dim
-            + in_dim * dim_pad
-            + 2 * in_dim * dim_pad
-            + setup.emb_dim * setup.nbridges
-        )
+    sn_bytes = _packed_sn_bytes(setup)
     grad_t = grad_t_for_target(target, dim_pad)
     const_bytes = 0
     if grad_t is not None:
@@ -177,22 +215,25 @@ def choose_block(dim: int, n_chains: int, *, traj_arrays: int = 0,
 
 def supports_fused_train(setup: bounds.CMCDSetup, target) -> bool:
     """True if a fully-fused Pallas training loss can run: the VarGrad mode
-    (ops/fused_train.var_bound_pallas, batched-replay backward) or an
-    overdamped KL mode (ops/fused_train.kl_bound_pallas, reverse-sweep BPTT
-    backward), with a geffner net where the mode uses one, a registered
-    transposed target score, and VMEM headroom."""
+    (ops/fused_train.var_bound_pallas, batched-replay backward) or a KL mode
+    (ops/fused_train.kl_bound_pallas, reverse-sweep BPTT backward), with a
+    kernelized net where the mode uses one (geffner everywhere; PIS
+    "dds"/"dds_grad" for the overdamped modes), a registered transposed
+    target score, and VMEM headroom."""
     from cmcd_tpu.ops.fused_train import KL_FUSED_MODES
 
     if setup.mode != "MCD_CAIS_var_sn" and setup.mode not in KL_FUSED_MODES:
         return False
-    if setup.mode == "MCD_CAIS_var_sn":
-        # The VarGrad backward kernels are geffner-specific.
-        if setup.nn_arch != "geffner":
+    if setup.mode not in _SN_FREE_MODES:
+        # Net-free modes (UHA, MCD_U_a-lp, MCD_U_e-lp, MCD_ULA) never apply
+        # a score net, so nn_arch is irrelevant to them. Where a net IS
+        # used, PIS ("dds"/"dds_grad") kernelization exists for the
+        # overdamped single-net modes only (ops/pallas_nets.py); the
+        # underdamped backward kernels are geffner-specific.
+        if not _arch_supported(setup) or (
+            setup.nn_arch != "geffner" and setup.mode not in _PALLAS_SPECS
+        ):
             return False
-    elif not _arch_supported(setup) or (
-        setup.nn_arch != "geffner" and setup.mode not in _PALLAS_SPECS
-    ):
-        return False
     if (
         setup.mode != "MCD_DNF"  # zero drift: no target score in the kernel
         and grad_t_for_target(target, _dim_pad(setup.dim)) is None

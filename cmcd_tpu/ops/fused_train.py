@@ -65,9 +65,12 @@ def _make_evolve(setup, target, n_chains, block, interpret, backward="auto"):
     noise is an explicit argument — not a closure — so the whole thing
     works when traced inside shard_map (custom_vjp forbids closed-over
     tracers)."""
+    from cmcd_tpu.ops.fused import _pack_net
+
     spec = od.CAIS_VAR
     dim = setup.dim
     dim_pad = _dim_pad(dim)
+    pack_net = _pack_net(setup.nn_arch)
     grad_t = grad_t_for_target(target, dim_pad)
     if backward == "auto":
         n_pad = -(-n_chains // block) * block
@@ -76,7 +79,7 @@ def _make_evolve(setup, target, n_chains, block, interpret, backward="auto"):
     use_replay = backward == "replay"
 
     def _run_forward(theta, z0, seed, noise):
-        sn_weights, sn_meta = pack_geffner_t(theta["sn"], dim, dim_pad)
+        sn_weights, sn_meta = pack_net(theta["sn"], dim, dim_pad)
         out = evolve_overdamped_pallas(
             z0,
             jnp.zeros(n_chains),
@@ -116,7 +119,7 @@ def _make_evolve(setup, target, n_chains, block, interpret, backward="auto"):
     def evolve_bwd(res, cots):
         theta, traj_t, z0, seed, noise = res
         g_deltas, _g_zfinal = cots  # z_final is consumed under stop_gradient
-        sn_weights, sn_meta = pack_geffner_t(theta["sn"], dim, dim_pad)
+        sn_weights, sn_meta = pack_net(theta["sn"], dim, dim_pad)
         common = dict(
             dim=dim,
             nbridges=setup.nbridges,
@@ -161,10 +164,11 @@ def _make_evolve(setup, target, n_chains, block, interpret, backward="auto"):
             "vd_logdiag": grads["vd_logdiag"],
             "sn": grads["sn"],
         }
-        # factor_sn is a 0-d param; match its shape.
-        g_theta["sn"]["factor_sn"] = jnp.reshape(
-            g_theta["sn"]["factor_sn"], theta["sn"]["factor_sn"].shape
-        )
+        # factor_sn is a 0-d param (geffner nets only); match its shape.
+        if "factor_sn" in g_theta["sn"]:
+            g_theta["sn"]["factor_sn"] = jnp.reshape(
+                g_theta["sn"]["factor_sn"], theta["sn"]["factor_sn"].shape
+            )
         g_noise = None if noise is None else jnp.zeros_like(noise)
         return g_theta, jnp.zeros_like(z0), None, g_noise
 

@@ -144,6 +144,124 @@ def pis_grads_unpack(outs, base: int, dim: int, n_state: int):
     return {"timestep_phase": g_phase, "time_coder": tc, "state_net": state}
 
 
+def geffner_theta(weights):
+    """Flatten packed geffner weights (pack_geffner_t layout) into the theta
+    tuple the backward kernels differentiate."""
+    layer_ws = [w_t for (w_t, _) in weights["layers"]]
+    layer_bs = [b_col for (_, b_col) in weights["layers"]]
+    head_w, head_b = weights["head"]
+    return (
+        jnp.asarray(weights["factor_sn"], jnp.float32).reshape(1, 1),
+        weights["emb_t"],
+        head_w,
+        head_b,
+        *layer_ws,
+        *layer_bs,
+    )
+
+
+def geffner_apply_theta(th, z, i, dim, emb_dim, in_dim, sn_nbridges,
+                        n_layers):
+    """Geffner net forward in the transposed layout with weights from theta
+    slices (so jax.vjp reaches them). Matches pack_geffner_t ordering."""
+    factor_arr, emb_t, head_w, head_b = th[:4]
+    ws = th[4 : 4 + n_layers]
+    bs = th[4 + n_layers : 4 + 2 * n_layers]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (sn_nbridges, 1), 0)
+        == jnp.clip(i, 0, sn_nbridges - 1)
+    ).astype(jnp.float32)
+    emb_col = jnp.dot(emb_t, onehot, preferred_element_type=jnp.float32)
+    h = jnp.concatenate(
+        [z[:dim], jnp.broadcast_to(emb_col, (emb_dim, z.shape[1]))],
+        axis=0,
+    )
+    if in_dim > dim + emb_dim:
+        h = jnp.concatenate(
+            [h, jnp.zeros((in_dim - dim - emb_dim, z.shape[1]), z.dtype)],
+            axis=0,
+        )
+    for w_t, b_col in zip(ws, bs):
+        h = h + jax.nn.softplus(
+            jnp.dot(w_t, h, preferred_element_type=jnp.float32) + b_col
+        )
+    return (
+        jnp.dot(head_w, h, preferred_element_type=jnp.float32) + head_b
+    ) * factor_arr[0, 0]
+
+
+def geffner_grads_unpack(outs, base: int, dim: int, n_layers: int):
+    g_factor, g_emb_t, g_head_w, g_head_b = outs[base : base + 4]
+    g_ws = outs[base + 4 : base + 4 + n_layers]
+    g_bs = outs[base + 4 + n_layers : base + 4 + 2 * n_layers]
+    return {
+        "layers": [{"w": w.T, "b": b[:, 0]} for w, b in zip(g_ws, g_bs)],
+        "head": {"w": g_head_w[:dim].T, "b": g_head_b[:dim, 0]},
+        "emb": g_emb_t.T,
+        "factor_sn": g_factor[0, 0],
+    }
+
+
+def make_kernel_net(arch, sn_weights, sn_meta, dim, grad_logp_t=None,
+                    row_mask=None):
+    """Arch-generic kernel-side score net for the backward kernels.
+
+    Returns (theta, apply_fn, unpack_fn):
+      theta: flat tuple of the differentiable packed weights;
+      apply_fn(th, z, i): transposed-layout net forward from theta slices;
+      unpack_fn(outs, base): theta-slice gradients back into the original
+      (untransposed) parameter pytree.
+    Supported archs: "geffner" (pack_geffner_t), "pis" (pack_pis_t),
+    "pis_grad" (pack_pis_grad_t — needs grad_logp_t + row_mask).
+    """
+    if arch == "pis":
+        channels = sn_meta["channels"]
+        n_state = len(sn_weights["state"])
+        coeff = sn_weights["coeff"]
+        theta = pis_theta(sn_weights)
+
+        def apply_fn(th, z, i):
+            return pis_apply_theta(th, z, i, dim, channels, n_state, coeff)
+
+        def unpack_fn(outs, base):
+            return pis_grads_unpack(outs, base, dim, n_state)
+
+        return theta, apply_fn, unpack_fn
+    if arch == "pis_grad":
+        channels = sn_meta["channels"]
+        n_state = len(sn_weights["state"])
+        n_tcg = sn_meta["n_tcg"]
+        coeff = sn_weights["coeff"]
+        theta = pis_grad_theta(sn_weights)
+
+        def apply_fn(th, z, i):
+            return pis_grad_apply_theta(
+                th, z, i, dim, channels, n_tcg, n_state, coeff,
+                grad_logp_t, row_mask,
+            )
+
+        def unpack_fn(outs, base):
+            return pis_grad_grads_unpack(outs, base, dim, n_tcg, n_state)
+
+        return theta, apply_fn, unpack_fn
+    assert arch == "geffner", arch
+    emb_dim = sn_meta["emb_dim"]
+    in_dim = sn_meta["in_dim"]
+    sn_nbridges = sn_meta["nbridges"]
+    n_layers = len(sn_weights["layers"])
+    theta = geffner_theta(sn_weights)
+
+    def apply_fn(th, z, i):
+        return geffner_apply_theta(
+            th, z, i, dim, emb_dim, in_dim, sn_nbridges, n_layers
+        )
+
+    def unpack_fn(outs, base):
+        return geffner_grads_unpack(outs, base, dim, n_layers)
+
+    return theta, apply_fn, unpack_fn
+
+
 def pack_pis_grad_t(sn_params, dim: int, dim_pad: int):
     """Transpose/pad PISGRADNet ("dds_grad") params (networks/pis.py).
 

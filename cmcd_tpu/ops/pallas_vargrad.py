@@ -99,9 +99,12 @@ def evolve_vargrad_bwd_replay(
     `points_per_program` stored states from HBM, runs ONE score-net
     application + VJP per point, and accumulates the parameter gradients
     in VMEM. No PRNG, no sequential dependency, no noise plumbing.
-    Multiple points per program amortize the ~1.7 us fixed program cost
-    (prologue + 16 output-ref accumulations), measured to dominate at one
-    point per program.
+    points_per_program=1 is the measured optimum on v5e at the flagship
+    size (RESULTS.md: 8 points/program was ~7% SLOWER — the window refs
+    triple the block streaming and the fori_loop adds select overhead; the
+    ~1.7 us fixed program cost does not dominate). The windowing machinery
+    is kept (and tested) for configurations where trajectory streaming
+    dominates program count.
 
     traj_t: (nbridges + 1, dim_pad, n_pad) raw transposed trajectory from
     evolve_overdamped_pallas(..., return_trajectory_t=True).
@@ -130,10 +133,6 @@ def evolve_vargrad_bwd_replay(
         )
     nchunks = n_pad // block
 
-    emb_dim = sn_meta["emb_dim"]
-    in_dim = sn_meta["in_dim"]
-    sn_nbridges = sn_meta["nbridges"]
-
     # Padded chains must not contribute gradients: zero cotangent.
     cot_rows = jnp.zeros((8, n_pad), jnp.float32).at[0, :n_chains].set(cot)
     mean_col = jnp.zeros((dim_pad, 1), jnp.float32).at[:dim, 0].set(vd_mean)
@@ -146,22 +145,20 @@ def evolve_vargrad_bwd_replay(
     clip_t = spec.clip_target if grad_clipping else None
     clip_q = spec.clip_vd if grad_clipping else None
 
-    layer_ws = [w_t for (w_t, _) in sn_weights["layers"]]
-    layer_bs = [b_col for (_, b_col) in sn_weights["layers"]]
-    head_w, head_b = sn_weights["head"]
+    from cmcd_tpu.ops.pallas_nets import make_kernel_net
+
+    arch = sn_meta.get("arch", "geffner")
+    sn_theta, sn_apply, sn_unpack = make_kernel_net(
+        arch, sn_weights, sn_meta, dim, grad_logp_t=grad_logp_t,
+        row_mask=row_mask,
+    )
     theta = (
         jnp.asarray(eps, jnp.float32).reshape(1, 1),
-        jnp.asarray(sn_weights["factor_sn"], jnp.float32).reshape(1, 1),
         betas_row,
         mean_col,
         logdiag_col,
-        sn_weights["emb_t"],
-        head_w,
-        head_b,
-        *layer_ws,
-        *layer_bs,
+        *sn_theta,
     )
-    n_layers = len(layer_ws)
 
     def eps_at(eps0, fj):
         if eps_schedule == "cos_sq":
@@ -177,12 +174,9 @@ def evolve_vargrad_bwd_replay(
         """Loss contribution of trajectory point z_j. All z_* are data;
         only theta carries gradients. The target score at z_j has no theta
         dependence, so autodiff skips its transpose entirely."""
-        (eps_arr, factor_arr, betas_r, mean_c, logdiag_c, emb_t,
-         head_w, head_b) = theta[:8]
-        ws = theta[8 : 8 + n_layers]
-        bs = theta[8 + n_layers : 8 + 2 * n_layers]
+        eps_arr, betas_r, mean_c, logdiag_c = theta[:4]
+        th_sn = theta[4:]
         eps0 = eps_arr[0, 0]
-        factor = factor_arr[0, 0]
 
         fj = j.astype(jnp.float32)
         lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, nbridges), 1)
@@ -191,28 +185,9 @@ def evolve_vargrad_bwd_replay(
         beta_j = jnp.sum(betas_r * onehot_j)
         beta_p = jnp.sum(betas_r * onehot_p)
 
-        # ONE net application at (z_j, clamp(j)).
-        emb_onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (sn_nbridges, 1), 0)
-            == jnp.clip(j, 0, sn_nbridges - 1)
-        ).astype(jnp.float32)
-        emb_col = jnp.dot(emb_t, emb_onehot, preferred_element_type=jnp.float32)
-        h = jnp.concatenate(
-            [z[:dim], jnp.broadcast_to(emb_col, (emb_dim, z.shape[1]))],
-            axis=0,
-        )
-        if in_dim > dim + emb_dim:
-            h = jnp.concatenate(
-                [h, jnp.zeros((in_dim - dim - emb_dim, z.shape[1]), z.dtype)],
-                axis=0,
-            )
-        for w_t, b_col in zip(ws, bs):
-            h = h + jax.nn.softplus(
-                jnp.dot(w_t, h, preferred_element_type=jnp.float32) + b_col
-            )
-        sn_out = (
-            jnp.dot(head_w, h, preferred_element_type=jnp.float32) + head_b
-        ) * factor
+        # ONE net application at (z_j, j) — serves the forward kernel of
+        # step j AND the backward kernel of step j-1 (CAIS offset-1).
+        sn_out = sn_apply(th_sn, z, j)
 
         gt = grad_logp_t(z)
         gq = -(z - mean_c) * jnp.exp(-2.0 * logdiag_c)
@@ -389,24 +364,13 @@ def evolve_vargrad_bwd_replay(
         interpret=interpret,
     )(*inputs)
 
-    (g_eps, g_factor, g_betas, g_mean, g_logdiag, g_emb_t, g_head_w,
-     g_head_b) = outs[:8]
-    g_ws = outs[8 : 8 + n_layers]
-    g_bs = outs[8 + n_layers : 8 + 2 * n_layers]
-
+    g_eps, g_betas, g_mean, g_logdiag = outs[:4]
     return {
         "eps": g_eps[0, 0],
         "betas": g_betas[0],
         "vd_mean": g_mean[:dim, 0],
         "vd_logdiag": g_logdiag[:dim, 0],
-        "sn": {
-            "layers": [
-                {"w": w.T, "b": b[:, 0]} for w, b in zip(g_ws, g_bs)
-            ],
-            "head": {"w": g_head_w[:dim].T, "b": g_head_b[:dim, 0]},
-            "emb": g_emb_t.T,
-            "factor_sn": g_factor[0, 0],
-        },
+        "sn": sn_unpack(outs, 4),
     }
 
 
@@ -455,10 +419,6 @@ def evolve_vargrad_bwd_pallas(
     n_pad = _round_up(n, block)
     nblocks = n_pad // block
 
-    emb_dim = sn_meta["emb_dim"]
-    in_dim = sn_meta["in_dim"]
-    sn_nbridges = sn_meta["nbridges"]
-
     # ---- host-side packing (identical layout to the forward kernel) -----
     z0_t = jnp.zeros((dim_pad, n_pad), jnp.float32).at[:dim, :n].set(z0.T)
     # Padded chains must not contribute gradients: zero cotangent.
@@ -483,23 +443,21 @@ def evolve_vargrad_bwd_pallas(
     clip_q = spec.clip_vd if grad_clipping else None
 
     # theta: every differentiable parameter, as explicit args so jax.grad
-    # can produce their cotangents. Layout matches pack_geffner_t.
-    layer_ws = [w_t for (w_t, _) in sn_weights["layers"]]
-    layer_bs = [b_col for (_, b_col) in sn_weights["layers"]]
-    head_w, head_b = sn_weights["head"]
+    # can produce their cotangents.
+    from cmcd_tpu.ops.pallas_nets import make_kernel_net
+
+    arch = sn_meta.get("arch", "geffner")
+    sn_theta, sn_apply, sn_unpack = make_kernel_net(
+        arch, sn_weights, sn_meta, dim, grad_logp_t=grad_logp_t,
+        row_mask=row_mask,
+    )
     theta = (
         jnp.asarray(eps, jnp.float32).reshape(1, 1),
-        jnp.asarray(sn_weights["factor_sn"], jnp.float32).reshape(1, 1),
         betas_row,
         mean_col,
         logdiag_col,
-        sn_weights["emb_t"],
-        head_w,
-        head_b,
-        *layer_ws,
-        *layer_bs,
+        *sn_theta,
     )
-    n_layers = len(layer_ws)
 
     def eps_at(eps0, fj):
         if eps_schedule == "cos_sq":
@@ -515,12 +473,9 @@ def evolve_vargrad_bwd_pallas(
         """Differentiable loss contribution of trajectory point z_j, plus
         (aux) the next rollout state. All z/gt inputs are fixed data; only
         theta carries gradients (VarGrad stop-gradient semantics)."""
-        (eps_arr, factor_arr, betas_r, mean_c, logdiag_c, emb_t,
-         head_w, head_b) = theta[:8]
-        ws = theta[8 : 8 + n_layers]
-        bs = theta[8 + n_layers : 8 + 2 * n_layers]
+        eps_arr, betas_r, mean_c, logdiag_c = theta[:4]
+        th_sn = theta[4:]
         eps0 = eps_arr[0, 0]
-        factor = factor_arr[0, 0]
 
         fj = j.astype(jnp.float32)
         # beta selection as a differentiable masked reduction over the grid.
@@ -530,33 +485,10 @@ def evolve_vargrad_bwd_pallas(
         beta_j = jnp.sum(betas_r * onehot_j)
         beta_p = jnp.sum(betas_r * onehot_p)
 
-        # ONE net application at (z_j, clamp(j)) — serves the forward kernel
-        # of step j AND the backward kernel of step j-1 (CAIS offset-1).
-        emb_onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (sn_nbridges, 1), 0)
-            == jnp.clip(j, 0, sn_nbridges - 1)
-        ).astype(jnp.float32)
-        emb_col = jnp.dot(emb_t, emb_onehot, preferred_element_type=jnp.float32)
-        # h0 by concatenation (z is stopped data; emb carries the gradient).
-        h = jnp.concatenate(
-            [
-                jax.lax.stop_gradient(z[:dim]),
-                jnp.broadcast_to(emb_col, (emb_dim, z.shape[1])),
-            ],
-            axis=0,
-        )
-        if in_dim > dim + emb_dim:
-            h = jnp.concatenate(
-                [h, jnp.zeros((in_dim - dim - emb_dim, z.shape[1]), z.dtype)],
-                axis=0,
-            )
-        for w_t, b_col in zip(ws, bs):
-            h = h + jax.nn.softplus(
-                jnp.dot(w_t, h, preferred_element_type=jnp.float32) + b_col
-            )
-        sn_out = (
-            jnp.dot(head_w, h, preferred_element_type=jnp.float32) + head_b
-        ) * factor
+        # ONE net application at (z_j, j) — serves the forward kernel of
+        # step j AND the backward kernel of step j-1 (CAIS offset-1). z is
+        # data to jax.grad (argnums=0), so no stop_gradient is needed.
+        sn_out = sn_apply(th_sn, z, j)
 
         # Clipped annealed drift pieces at z_j (gt is data; gq is theta).
         gq = -(z - mean_c) * jnp.exp(-2.0 * logdiag_c)
@@ -736,22 +668,11 @@ def evolve_vargrad_bwd_pallas(
         ),
     )(*inputs)
 
-    (g_eps, g_factor, g_betas, g_mean, g_logdiag, g_emb_t, g_head_w,
-     g_head_b) = outs[:8]
-    g_ws = outs[8 : 8 + n_layers]
-    g_bs = outs[8 + n_layers : 8 + 2 * n_layers]
-
+    g_eps, g_betas, g_mean, g_logdiag = outs[:4]
     return {
         "eps": g_eps[0, 0],
         "betas": g_betas[0],
         "vd_mean": g_mean[:dim, 0],
         "vd_logdiag": g_logdiag[:dim, 0],
-        "sn": {
-            "layers": [
-                {"w": w.T, "b": b[:, 0]} for w, b in zip(g_ws, g_bs)
-            ],
-            "head": {"w": g_head_w[:dim].T, "b": g_head_b[:dim, 0]},
-            "emb": g_emb_t.T,
-            "factor_sn": g_factor[0, 0],
-        },
+        "sn": sn_unpack(outs, 4),
     }

@@ -36,14 +36,15 @@ RECIPES = {
         ln_z_tol=0.15,
     ),
     # README.md 40-GMM VarGrad recipe (the 5x wall-clock target config,
-    # shortened iterations are NOT part of this entry — full recipe).
+    # shortened iterations are NOT part of this entry — full recipe,
+    # including the published --config.emb_dim 130 network width).
     "many_gmm_vargrad": dict(
         flags={
             "model": "many_gmm",
             "boundmode": "MCD_CAIS_var_sn",
             "N": 2000,
             "nbridges": 256,
-            "emb_dim": 48,
+            "emb_dim": 130,
             "init_eps": 0.65,
             "init_sigma": 15,
             "iters": 40000,
