@@ -271,19 +271,147 @@ def evolve_kl_bwd_pallas(
         g_theta, g_z = vjp_fn((g_next, c_row))
         return (*g_theta, g_z)
 
-    zb = jax.ShapeDtypeStruct((dim_pad, block), jnp.float32)
-    example = (
-        tuple(jax.ShapeDtypeStruct(t.shape, t.dtype) for t in theta),
-        zb,  # z
-        zb,  # xi
-        jax.ShapeDtypeStruct((), jnp.int32),  # j
-        zb,  # g_next
-        jax.ShapeDtypeStruct((1, block), jnp.float32),  # c_row
+    # CAIS structure (net at i and i+1, one net): point j's applications
+    # (target score + net) are consumed by BOTH step j's forward kernel and
+    # step j-1's backward kernel. point_fn transposes both applications at
+    # both endpoints every step (2 primals + 2 transposes per point); the
+    # carry sweep below transposes each point's applications ONCE, carrying
+    # their cotangents between reverse iterations (2 primals + 1 transpose
+    # per point) — the round-2 forward kernels' carry_sn, applied to BPTT.
+    carry_sn = bool(
+        use_sn
+        and spec.fwd_sn
+        and spec.bwd_sn
+        and spec.bwd_sn_offset == 1
+        and not spec.use_sn2_bwd
     )
-    point_jaxpr = jax.make_jaxpr(point_fn)(*example)
-    point_consts = point_jaxpr.consts
 
-    const_shapes, const_inputs = pack_consts(point_consts)
+    def _drift_from(z, gt_raw, mean_c, logdiag_c, beta):
+        """grad_u with the raw target score as an explicit input (so the
+        shared application's transpose can be factored out)."""
+        gq = -(z - mean_c) * jnp.exp(-2.0 * logdiag_c)
+        gt = gt_raw
+        if clip_t is not None:
+            gt = jnp.clip(gt, -clip_t, clip_t)
+        if clip_q is not None:
+            gq = jnp.clip(gq, -clip_q, clip_q)
+        return -(beta * gt + (1.0 - beta) * gq) * row_mask
+
+    def _beta_eps(theta, j):
+        eps_arr, betas_r = theta[0], theta[1]
+        lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, nbridges), 1)
+        beta = jnp.sum(betas_r * (lane_idx == j).astype(jnp.float32))
+        return beta, eps_at(eps_arr[0, 0], j.astype(jnp.float32))
+
+    def iter_fn(theta, z_j, z_jp, xi, j, g_zp, g_gt, g_sn, c_row):
+        """One reverse iteration of the carry sweep (step j; finalizes the
+        applications at point j+1).
+
+        g_zp / g_gt / g_sn: accumulated cotangents of z_{j+1} and of its raw
+        (gt, sn) applications from the already-processed step j+1. Returns
+        theta cotangents plus the same triple for point j."""
+
+        def f_upper(th, z_up, z_lo):
+            """bk kernel of step j, with the point-(j+1) applications
+            INSIDE the vjp — their single transpose serves both this bk_lp
+            term (cot c_row) and step j+1's carried cotangents."""
+            beta, eps_j = _beta_eps(th, j)
+            s2 = 2.0 * eps_j
+            gt_up = grad_logp_t(z_up)
+            sn_up = sn_apply(th[4:], z_up, j + spec.bwd_sn_offset)
+            grad_u = _drift_from(z_up, gt_up, th[2], th[3], beta)
+            bk_mean = z_up - eps_j * grad_u + eps_j * sn_up
+            r_bk = (z_lo - bk_mean) * row_mask
+            bk_lp = (
+                -0.5 * jnp.sum(r_bk * r_bk, axis=0, keepdims=True) / s2
+                - 0.5 * dim * (jnp.log(s2) + log_2pi)
+            )
+            return bk_lp, gt_up, sn_up
+
+        _, vjp_u = jax.vjp(f_upper, theta, z_jp, z_j)
+        g_th1, g_zjp, g_zj1 = vjp_u((c_row, g_gt, g_sn))
+        g_zp_tot = g_zjp + g_zp
+
+        # Primal-only applications at point j; their transpose runs in the
+        # NEXT iteration's f_upper via the returned cotangent carry.
+        gt_j = grad_logp_t(z_j)
+        sn_j = sn_apply(theta[4:], z_j, j)
+
+        def f_lower(th, z_lo, gt_lo, sn_lo, xi_):
+            """fk kernel of step j with the point-j applications as data."""
+            beta, eps_j = _beta_eps(th, j)
+            s2 = 2.0 * eps_j
+            grad_u = _drift_from(z_lo, gt_lo, th[2], th[3], beta)
+            fk_mean = z_lo - eps_j * grad_u - eps_j * sn_lo
+            z_next = fk_mean + jnp.sqrt(s2) * xi_
+            r_fk = (z_next - fk_mean) * row_mask
+            fk_lp = (
+                -0.5 * jnp.sum(r_fk * r_fk, axis=0, keepdims=True) / s2
+                - 0.5 * dim * (jnp.log(s2) + log_2pi)
+            )
+            return z_next, fk_lp
+
+        _, vjp_l = jax.vjp(f_lower, theta, z_j, gt_j, sn_j, xi)
+        g_th2, g_zj2, g_gt_out, g_sn_out, _ = vjp_l((g_zp_tot, -c_row))
+        g_theta = tuple(a + b for a, b in zip(g_th1, g_th2))
+        return (*g_theta, g_zj1 + g_zj2, g_gt_out, g_sn_out)
+
+    def final_fn(theta, z0, g_gt, g_sn):
+        """Transpose of the point-0 applications (consumed only by step 0's
+        forward kernel)."""
+
+        def f(th, z):
+            return grad_logp_t(z), sn_apply(th[4:], z, 0)
+
+        _, vjp_f = jax.vjp(f, theta, z0)
+        g_th, g_z = vjp_f((g_gt, g_sn))
+        return (*g_th, g_z)
+
+    zb = jax.ShapeDtypeStruct((dim_pad, block), jnp.float32)
+    theta_example = tuple(
+        jax.ShapeDtypeStruct(t.shape, t.dtype) for t in theta
+    )
+    if carry_sn:
+        iter_jaxpr = jax.make_jaxpr(iter_fn)(
+            theta_example,
+            zb,  # z_j
+            zb,  # z_{j+1}
+            zb,  # xi
+            jax.ShapeDtypeStruct((), jnp.int32),  # j
+            zb,  # g_zp
+            zb,  # g_gt
+            zb,  # g_sn
+            jax.ShapeDtypeStruct((1, block), jnp.float32),  # c_row
+        )
+        final_jaxpr = jax.make_jaxpr(final_fn)(
+            theta_example, zb, zb, zb
+        )
+        # Intern shared consts by identity (the two jaxprs close over the
+        # same target/net constant arrays; LGCP's 10 MB precision matrix
+        # must enter the kernel once, not twice).
+        _interned, _ids = [], {}
+
+        def _intern(c):
+            k = id(c)
+            if k not in _ids:
+                _ids[k] = len(_interned)
+                _interned.append(c)
+            return _ids[k]
+
+        iter_const_map = [_intern(c) for c in iter_jaxpr.consts]
+        final_const_map = [_intern(c) for c in final_jaxpr.consts]
+        const_shapes, const_inputs = pack_consts(_interned)
+    else:
+        example = (
+            theta_example,
+            zb,  # z
+            zb,  # xi
+            jax.ShapeDtypeStruct((), jnp.int32),  # j
+            zb,  # g_next
+            jax.ShapeDtypeStruct((1, block), jnp.float32),  # c_row
+        )
+        point_jaxpr = jax.make_jaxpr(point_fn)(*example)
+        const_shapes, const_inputs = pack_consts(point_jaxpr.consts)
 
     def kernel(*refs):
         idx = 0
@@ -299,26 +427,58 @@ def evolve_kl_bwd_pallas(
 
         pid = pl.program_id(0)
 
-        consts = unpack_consts(const_shapes, const_refs)
+        all_consts = unpack_consts(const_shapes, const_refs)
         theta_vals = tuple(r[:] for r in theta_refs)
         c_row = c_ref[0:1, :]
-
-        def body(t, carry):
-            g_z, acc = carry
-            j = nbridges - 1 - t
-            z = traj_ref[j]
-            xi = noise_ref[j]
-            flat_in = list(theta_vals) + [z, xi, j, g_z, c_row]
-            out = jax.core.eval_jaxpr(point_jaxpr.jaxpr, consts, *flat_in)
-            g_theta, g_z = tuple(out[:n_theta]), out[n_theta]
-            acc = tuple(a + g for a, g in zip(acc, g_theta))
-            return (g_z, acc)
-
         acc0 = tuple(jnp.zeros(t.shape, jnp.float32) for t in theta_vals)
-        g_z0, acc = jax.lax.fori_loop(
-            0, nbridges, body, (gzf_ref[:], acc0)
-        )
-        gz0_ref[:] = g_z0
+
+        if carry_sn:
+            iter_consts = [all_consts[i] for i in iter_const_map]
+            final_consts = [all_consts[i] for i in final_const_map]
+
+            def body(t, carry):
+                g_z, g_gt, g_sn, acc = carry
+                j = nbridges - 1 - t
+                flat_in = list(theta_vals) + [
+                    traj_ref[j], traj_ref[j + 1], noise_ref[j], j,
+                    g_z, g_gt, g_sn, c_row,
+                ]
+                out = jax.core.eval_jaxpr(
+                    iter_jaxpr.jaxpr, iter_consts, *flat_in
+                )
+                g_theta = tuple(out[:n_theta])
+                g_z, g_gt, g_sn = out[n_theta], out[n_theta + 1], out[n_theta + 2]
+                acc = tuple(a + g for a, g in zip(acc, g_theta))
+                return (g_z, g_gt, g_sn, acc)
+
+            zero_b = jnp.zeros((dim_pad, block), jnp.float32)
+            g_z0, g_gt, g_sn, acc = jax.lax.fori_loop(
+                0, nbridges, body, (gzf_ref[:], zero_b, zero_b, acc0)
+            )
+            fin = jax.core.eval_jaxpr(
+                final_jaxpr.jaxpr, final_consts,
+                *theta_vals, traj_ref[0], g_gt, g_sn,
+            )
+            acc = tuple(a + g for a, g in zip(acc, fin[:n_theta]))
+            gz0_ref[:] = g_z0 + fin[n_theta]
+        else:
+            consts = all_consts
+
+            def body(t, carry):
+                g_z, acc = carry
+                j = nbridges - 1 - t
+                z = traj_ref[j]
+                xi = noise_ref[j]
+                flat_in = list(theta_vals) + [z, xi, j, g_z, c_row]
+                out = jax.core.eval_jaxpr(point_jaxpr.jaxpr, consts, *flat_in)
+                g_theta, g_z = tuple(out[:n_theta]), out[n_theta]
+                acc = tuple(a + g for a, g in zip(acc, g_theta))
+                return (g_z, acc)
+
+            g_z0, acc = jax.lax.fori_loop(
+                0, nbridges, body, (gzf_ref[:], acc0)
+            )
+            gz0_ref[:] = g_z0
 
         for o_ref, g in zip(out_theta_refs, acc):
             @pl.when(pid == 0)
