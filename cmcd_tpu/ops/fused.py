@@ -70,6 +70,7 @@ def _pack_net(nn_arch: str):
 # budget — the backward kernels hold VJP activations on top of the weights.
 _VMEM_BUDGET = 96 * 1024 * 1024
 _VMEM_TRAIN_BUDGET = 48 * 1024 * 1024
+_VMEM_TRAIN_SPLIT_BUDGET = 64 * 1024 * 1024
 
 
 def _leaf_bytes(tree) -> int:
@@ -239,9 +240,15 @@ def supports_fused_train(setup: bounds.CMCDSetup, target) -> bool:
         and grad_t_for_target(target, _dim_pad(setup.dim)) is None
     ):
         return False
+    budget = _VMEM_TRAIN_BUDGET
+    if setup.mode == "MCD_CAIS_sn":
+        # The CAIS KL backward moves weight gradients out of the kernel for
+        # large nets (pallas_kl net_grads_outside), so the weights enter
+        # VMEM once with no weight-sized outputs — measured on hardware:
+        # the 1600-D LGCP (estimate 48 MB) compiles and runs.
+        budget = _VMEM_TRAIN_SPLIT_BUDGET
     return (
-        _vmem_estimate(setup, target, default_block(setup.dim))
-        < _VMEM_TRAIN_BUDGET
+        _vmem_estimate(setup, target, default_block(setup.dim)) < budget
     )
 
 

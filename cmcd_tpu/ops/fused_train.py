@@ -43,8 +43,14 @@ from cmcd_tpu.schedules import betas_from_grid
 # the zero-memory re-rolling backward.
 _REPLAY_BYTES_BUDGET = 256 * 1024 * 1024
 
+# Packed score-net size past which the CAIS KL backward computes the weight
+# gradients OUTSIDE the sweep kernel (pallas_kl net_grads_outside): in-kernel
+# weight grads for LGCP-size nets spill past physical VMEM.
+_NET_GRADS_OUTSIDE_BYTES = 4 * 1024 * 1024
 
-def _make_evolve(setup, target, n_chains, block, interpret, backward="auto"):
+
+def _make_evolve(setup, target, n_chains, block, interpret, backward="auto",
+                 bf16_net=False):
     """custom_vjp'd (theta, z0, seed, noise) -> (deltas, z_final) for
     CAIS_VAR.
 
@@ -131,6 +137,8 @@ def _make_evolve(setup, target, n_chains, block, interpret, backward="auto"):
             interpret=interpret,
         )
         if use_replay:
+            import jax.numpy as _jnp
+
             grads = evolve_vargrad_bwd_replay(
                 traj_t,
                 g_deltas,
@@ -141,6 +149,9 @@ def _make_evolve(setup, target, n_chains, block, interpret, backward="auto"):
                 grad_t,
                 spec,
                 n_chains=n_chains,
+                net_compute_dtype=(
+                    _jnp.bfloat16 if bf16_net else _jnp.float32
+                ),
                 **common,
             )
         else:
@@ -188,6 +199,7 @@ def neg_elbos_pallas(
     noise=None,
     interpret: bool = False,
     backward: str = "auto",
+    bf16_net: bool = False,
 ):
     """Per-chain negative ELBOs via the fused forward kernel, differentiable
     in params through the fused backward kernel (VarGrad semantics: the
@@ -227,7 +239,9 @@ def neg_elbos_pallas(
         "vd_logdiag": logdiag,
         "sn": p["sn"],
     }
-    evolve = _make_evolve(setup, target, n_chains, block, interpret, backward)
+    evolve = _make_evolve(
+        setup, target, n_chains, block, interpret, backward, bf16_net
+    )
     deltas, z_final = evolve(theta, jax.lax.stop_gradient(z0), seed, noise)
 
     w = w0 + deltas + ctx.target_log_prob(jax.lax.stop_gradient(z_final))
@@ -313,6 +327,14 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec):
         theta, traj_t, noise_t, noise = res
         g_deltas, g_zfinal = cots  # BOTH live for KL
         sn_weights, sn_meta, sn2_weights = _pack(theta)
+        # Large nets (LGCP: ~31 MB packed): keep the weight-grad matmuls
+        # out of the sweep kernel — in-kernel weight gradients spill past
+        # physical VMEM (see evolve_kl_bwd_pallas net_grads_outside).
+        sn_bytes = sum(
+            int(leaf.size) * 4
+            for leaf in jax.tree_util.tree_leaves(sn_weights)
+            if hasattr(leaf, "size")
+        )
         grads, g_z0 = evolve_kl_bwd_pallas(
             traj_t,
             noise_t,
@@ -333,6 +355,7 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec):
             eps_schedule=setup.eps_schedule,
             grad_clipping=setup.grad_clipping,
             block=block,
+            net_grads_outside=sn_bytes > _NET_GRADS_OUTSIDE_BYTES,
             interpret=interpret,
         )
         g_theta = {
@@ -739,15 +762,23 @@ def var_bound_pallas(
     noise=None,
     interpret: bool = False,
     backward: str = "auto",
+    bf16_net: bool = False,
 ):
     """VarGrad loss with fused Pallas forward AND backward.
 
     Same contract as bounds.var_bound (loss, (neg_elbos, z)) plus the target
     argument. Use under jax.grad / value_and_grad exactly like the scan loss.
+
+    bf16_net=True runs the replay backward's score-net layer compute in
+    bfloat16 (f32 MXU accumulation): the kernel is VPU-throughput-bound on
+    the layer elementwise chains, and bf16 doubles VPU lanes. The gradient
+    is NOT f32-exact (expect ~1e-2 relative; tests pin the tolerance) — an
+    opt-in speed/precision trade, default off.
     """
     neg_elbos, z_final = neg_elbos_pallas(
         params, key, n_chains, ctx, setup, target,
         block=block, noise=noise, interpret=interpret, backward=backward,
+        bf16_net=bf16_net,
     )
     loss = jnp.clip(jnp.var(neg_elbos, ddof=0), -1e7, 1e7)
     return loss, (neg_elbos, z_final)

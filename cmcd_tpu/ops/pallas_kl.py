@@ -66,9 +66,20 @@ def evolve_kl_bwd_pallas(
     eps_schedule: str = "",
     grad_clipping: bool = False,
     block: int = 1024,
+    net_grads_outside: bool = False,
     interpret: bool = False,
 ):
     """Reverse-sweep BPTT gradients from stored (trajectory, noise).
+
+    net_grads_outside (CAIS carry path only): the sweep kernel handles the
+    state chain with the net weights CLOSED OVER (z-Jacobian transposes
+    only — no weight-gradient matmuls or weight-sized outputs in VMEM) and
+    emits each trajectory point's net-output cotangent to a stack; the
+    weight gradients come from one batched XLA vjp over the stored
+    trajectory afterwards. Exact f32 either way — this moves ~3x the packed
+    weight bytes out of the kernel's VMEM footprint, which is what lets the
+    1600-D LGCP KL backward compile (f32 in-kernel weight grads spill ~80 MB
+    past the 128 MB physical VMEM).
 
     traj_t: (nbridges + 1, dim_pad, n_pad); noise_t: (nbridges, dim_pad,
     n_pad) — raw transposed outputs of the forward kernel.
@@ -285,6 +296,11 @@ def evolve_kl_bwd_pallas(
         and spec.bwd_sn_offset == 1
         and not spec.use_sn2_bwd
     )
+    split = bool(net_grads_outside and carry_sn)
+    # In split mode the kernel differentiates only the 4 small params; the
+    # net weights are still kernel INPUTS (primal + z-Jacobian transposes)
+    # but get no gradient outputs.
+    n_theta_out = 4 if split else n_theta
 
     def _drift_from(z, gt_raw, mean_c, logdiag_c, beta):
         """grad_u with the raw target score as an explicit input (so the
@@ -303,58 +319,50 @@ def evolve_kl_bwd_pallas(
         beta = jnp.sum(betas_r * (lane_idx == j).astype(jnp.float32))
         return beta, eps_at(eps_arr[0, 0], j.astype(jnp.float32))
 
-    def iter_fn(theta, z_j, z_jp, xi, j, g_zp, g_gt, g_sn, c_row):
-        """One reverse iteration of the carry sweep (step j; finalizes the
-        applications at point j+1).
+    def apps_fn(theta, z, j):
+        """Primal-only point applications (no transpose): values for the
+        carry sweep's explicit (gt_j, sn_j) step inputs."""
+        return grad_logp_t(z), sn_apply(theta[4:], z, j)
 
-        g_zp / g_gt / g_sn: accumulated cotangents of z_{j+1} and of its raw
-        (gt, sn) applications from the already-processed step j+1. Returns
-        theta cotangents plus the same triple for point j."""
+    def iter_fn(theta, z_j, gt_j, sn_j, xi, j, g_zp, g_gt, g_sn, c_row):
+        """One reverse iteration of the carry sweep: step j in a SINGLE vjp.
 
-        def f_upper(th, z_up, z_lo):
-            """bk kernel of step j, with the point-(j+1) applications
-            INSIDE the vjp — their single transpose serves both this bk_lp
-            term (cot c_row) and step j+1's carried cotangents."""
+        The step recomputes z_{j+1} from (z_j, xi) internally, so the
+        point-(j+1) applications sit inside the vjp and are transposed once
+        — serving this step's bk term (cot c_row), the carried application
+        cotangents (g_gt, g_sn) from step j+1's fk, and the state chain
+        (g_zp) in one pass. The point-j applications enter as explicit data
+        (gt_j, sn_j); their cotangents come out as the next iteration's
+        carry. One theta-gradient set total (memory: the two-vjp version
+        kept two sets live and spilled on 1600-D nets)."""
+
+        def f(th, z_lo, gt_lo, sn_lo, xi_):
             beta, eps_j = _beta_eps(th, j)
             s2 = 2.0 * eps_j
-            gt_up = grad_logp_t(z_up)
-            sn_up = sn_apply(th[4:], z_up, j + spec.bwd_sn_offset)
-            grad_u = _drift_from(z_up, gt_up, th[2], th[3], beta)
-            bk_mean = z_up - eps_j * grad_u + eps_j * sn_up
-            r_bk = (z_lo - bk_mean) * row_mask
-            bk_lp = (
-                -0.5 * jnp.sum(r_bk * r_bk, axis=0, keepdims=True) / s2
-                - 0.5 * dim * (jnp.log(s2) + log_2pi)
-            )
-            return bk_lp, gt_up, sn_up
-
-        _, vjp_u = jax.vjp(f_upper, theta, z_jp, z_j)
-        g_th1, g_zjp, g_zj1 = vjp_u((c_row, g_gt, g_sn))
-        g_zp_tot = g_zjp + g_zp
-
-        # Primal-only applications at point j; their transpose runs in the
-        # NEXT iteration's f_upper via the returned cotangent carry.
-        gt_j = grad_logp_t(z_j)
-        sn_j = sn_apply(theta[4:], z_j, j)
-
-        def f_lower(th, z_lo, gt_lo, sn_lo, xi_):
-            """fk kernel of step j with the point-j applications as data."""
-            beta, eps_j = _beta_eps(th, j)
-            s2 = 2.0 * eps_j
-            grad_u = _drift_from(z_lo, gt_lo, th[2], th[3], beta)
-            fk_mean = z_lo - eps_j * grad_u - eps_j * sn_lo
+            grad_u_lo = _drift_from(z_lo, gt_lo, th[2], th[3], beta)
+            fk_mean = z_lo - eps_j * grad_u_lo - eps_j * sn_lo
             z_next = fk_mean + jnp.sqrt(s2) * xi_
             r_fk = (z_next - fk_mean) * row_mask
             fk_lp = (
                 -0.5 * jnp.sum(r_fk * r_fk, axis=0, keepdims=True) / s2
                 - 0.5 * dim * (jnp.log(s2) + log_2pi)
             )
-            return z_next, fk_lp
+            gt_up = grad_logp_t(z_next)
+            sn_up = sn_apply(th[4:], z_next, j + spec.bwd_sn_offset)
+            grad_u_up = _drift_from(z_next, gt_up, th[2], th[3], beta)
+            bk_mean = z_next - eps_j * grad_u_up + eps_j * sn_up
+            r_bk = (z_lo - bk_mean) * row_mask
+            bk_lp = (
+                -0.5 * jnp.sum(r_bk * r_bk, axis=0, keepdims=True) / s2
+                - 0.5 * dim * (jnp.log(s2) + log_2pi)
+            )
+            return z_next, fk_lp, bk_lp, gt_up, sn_up
 
-        _, vjp_l = jax.vjp(f_lower, theta, z_j, gt_j, sn_j, xi)
-        g_th2, g_zj2, g_gt_out, g_sn_out, _ = vjp_l((g_zp_tot, -c_row))
-        g_theta = tuple(a + b for a, b in zip(g_th1, g_th2))
-        return (*g_theta, g_zj1 + g_zj2, g_gt_out, g_sn_out)
+        _, vjp_fn = jax.vjp(f, theta, z_j, gt_j, sn_j, xi)
+        g_th, g_zj, g_gt_out, g_sn_out, _ = vjp_fn(
+            (g_zp, -c_row, c_row, g_gt, g_sn)
+        )
+        return (*g_th, g_zj, g_gt_out, g_sn_out)
 
     def final_fn(theta, z0, g_gt, g_sn):
         """Transpose of the point-0 applications (consumed only by step 0's
@@ -367,15 +375,65 @@ def evolve_kl_bwd_pallas(
         g_th, g_z = vjp_f((g_gt, g_sn))
         return (*g_th, g_z)
 
+    # ---- split-mode variants: weights closed over, z-path only ----------
+    def apps_fn_split(th_net, z, j):
+        return grad_logp_t(z), sn_apply(th_net, z, j)
+
+    def iter_fn_split(theta_small, th_net, z_j, gt_j, sn_j, xi, j,
+                      g_zp, g_gt, g_sn, c_row):
+        """iter_fn with the net weights outside the vjp: th_net enters by
+        closure (no weight cotangents, no weight-sized temporaries); the
+        zero dummy added to sn_up extracts the point-(j+1) net-output
+        cotangent for the out-of-kernel weight-grad pass."""
+        dummy = jnp.zeros((dim_pad, block), jnp.float32)
+
+        def f(ths, z_lo, gt_lo, sn_lo, xi_, dmy):
+            beta, eps_j = _beta_eps(ths, j)
+            s2 = 2.0 * eps_j
+            grad_u_lo = _drift_from(z_lo, gt_lo, ths[2], ths[3], beta)
+            fk_mean = z_lo - eps_j * grad_u_lo - eps_j * sn_lo
+            z_next = fk_mean + jnp.sqrt(s2) * xi_
+            r_fk = (z_next - fk_mean) * row_mask
+            fk_lp = (
+                -0.5 * jnp.sum(r_fk * r_fk, axis=0, keepdims=True) / s2
+                - 0.5 * dim * (jnp.log(s2) + log_2pi)
+            )
+            gt_up = grad_logp_t(z_next)
+            sn_up = sn_apply(th_net, z_next, j + spec.bwd_sn_offset) + dmy
+            grad_u_up = _drift_from(z_next, gt_up, ths[2], ths[3], beta)
+            bk_mean = z_next - eps_j * grad_u_up + eps_j * sn_up
+            r_bk = (z_lo - bk_mean) * row_mask
+            bk_lp = (
+                -0.5 * jnp.sum(r_bk * r_bk, axis=0, keepdims=True) / s2
+                - 0.5 * dim * (jnp.log(s2) + log_2pi)
+            )
+            return z_next, fk_lp, bk_lp, gt_up, sn_up
+
+        _, vjp_fn = jax.vjp(f, theta_small, z_j, gt_j, sn_j, xi, dummy)
+        g_ths, g_zj, g_gt_out, g_sn_out, _, g_dummy = vjp_fn(
+            (g_zp, -c_row, c_row, g_gt, g_sn)
+        )
+        return (*g_ths, g_zj, g_gt_out, g_sn_out, g_dummy)
+
+    def final_fn_split(th_net, z0, g_gt, g_sn):
+        def f(z):
+            return grad_logp_t(z), sn_apply(th_net, z, 0)
+
+        _, vjp_f = jax.vjp(f, z0)
+        (g_z,) = vjp_f((g_gt, g_sn))
+        return g_z
+
     zb = jax.ShapeDtypeStruct((dim_pad, block), jnp.float32)
     theta_example = tuple(
         jax.ShapeDtypeStruct(t.shape, t.dtype) for t in theta
     )
-    if carry_sn:
-        iter_jaxpr = jax.make_jaxpr(iter_fn)(
-            theta_example,
+    if split:
+        iter_jaxpr = jax.make_jaxpr(iter_fn_split)(
+            theta_example[:4],
+            theta_example[4:],
             zb,  # z_j
-            zb,  # z_{j+1}
+            zb,  # gt_j
+            zb,  # sn_j
             zb,  # xi
             jax.ShapeDtypeStruct((), jnp.int32),  # j
             zb,  # g_zp
@@ -383,12 +441,35 @@ def evolve_kl_bwd_pallas(
             zb,  # g_sn
             jax.ShapeDtypeStruct((1, block), jnp.float32),  # c_row
         )
+        apps_jaxpr = jax.make_jaxpr(apps_fn_split)(
+            theta_example[4:], zb, jax.ShapeDtypeStruct((), jnp.int32)
+        )
+        final_jaxpr = jax.make_jaxpr(final_fn_split)(
+            theta_example[4:], zb, zb, zb
+        )
+    elif carry_sn:
+        iter_jaxpr = jax.make_jaxpr(iter_fn)(
+            theta_example,
+            zb,  # z_j
+            zb,  # gt_j
+            zb,  # sn_j
+            zb,  # xi
+            jax.ShapeDtypeStruct((), jnp.int32),  # j
+            zb,  # g_zp
+            zb,  # g_gt
+            zb,  # g_sn
+            jax.ShapeDtypeStruct((1, block), jnp.float32),  # c_row
+        )
+        apps_jaxpr = jax.make_jaxpr(apps_fn)(
+            theta_example, zb, jax.ShapeDtypeStruct((), jnp.int32)
+        )
         final_jaxpr = jax.make_jaxpr(final_fn)(
             theta_example, zb, zb, zb
         )
-        # Intern shared consts by identity (the two jaxprs close over the
-        # same target/net constant arrays; LGCP's 10 MB precision matrix
-        # must enter the kernel once, not twice).
+    if carry_sn:
+        # Intern shared consts by identity (the jaxprs close over the same
+        # target/net constant arrays; LGCP's 10 MB precision matrix must
+        # enter the kernel once, not thrice).
         _interned, _ids = [], {}
 
         def _intern(c):
@@ -399,6 +480,7 @@ def evolve_kl_bwd_pallas(
             return _ids[k]
 
         iter_const_map = [_intern(c) for c in iter_jaxpr.consts]
+        apps_const_map = [_intern(c) for c in apps_jaxpr.consts]
         final_const_map = [_intern(c) for c in final_jaxpr.consts]
         const_shapes, const_inputs = pack_consts(_interned)
     else:
@@ -422,72 +504,96 @@ def evolve_kl_bwd_pallas(
         theta_refs = refs[idx : idx + n_theta]; idx += n_theta
         const_refs = refs[idx : idx + len(const_inputs)]
         idx += len(const_inputs)
-        out_theta_refs = refs[idx : idx + n_theta]; idx += n_theta
+        out_theta_refs = refs[idx : idx + n_theta_out]; idx += n_theta_out
         gz0_ref = refs[idx]; idx += 1
+        gsn_ref = None
+        if split:
+            gsn_ref = refs[idx]; idx += 1
 
         pid = pl.program_id(0)
 
         all_consts = unpack_consts(const_shapes, const_refs)
         theta_vals = tuple(r[:] for r in theta_refs)
         c_row = c_ref[0:1, :]
-        acc0 = tuple(jnp.zeros(t.shape, jnp.float32) for t in theta_vals)
+
+        # Parameter gradients accumulate IN the output refs (zeroed by the
+        # first program; later programs revisit the same VMEM blocks on the
+        # sequential TPU grid). Carrying the accumulator tuple as fori_loop
+        # state instead multi-buffers it and blows scoped VMEM on large-dim
+        # nets (LGCP: 143 MB of spill slots for ~32 MB of weight grads).
+        @pl.when(pid == 0)
+        def _zero_outputs():
+            for o_ref in out_theta_refs:
+                o_ref[:] = jnp.zeros(o_ref.shape, jnp.float32)
+
+        def _accumulate(g_theta):
+            for o_ref, g in zip(out_theta_refs, g_theta):
+                o_ref[:] = o_ref[:] + g
 
         if carry_sn:
             iter_consts = [all_consts[i] for i in iter_const_map]
+            apps_consts = [all_consts[i] for i in apps_const_map]
             final_consts = [all_consts[i] for i in final_const_map]
+            apps_args = theta_vals[4:] if split else theta_vals
+            final_args = theta_vals[4:] if split else theta_vals
 
             def body(t, carry):
-                g_z, g_gt, g_sn, acc = carry
+                g_z, g_gt, g_sn = carry
                 j = nbridges - 1 - t
+                z_j = traj_ref[j]
+                gt_j, sn_j = jax.core.eval_jaxpr(
+                    apps_jaxpr.jaxpr, apps_consts, *apps_args, z_j, j
+                )
                 flat_in = list(theta_vals) + [
-                    traj_ref[j], traj_ref[j + 1], noise_ref[j], j,
+                    z_j, gt_j, sn_j, noise_ref[j], j,
                     g_z, g_gt, g_sn, c_row,
                 ]
                 out = jax.core.eval_jaxpr(
                     iter_jaxpr.jaxpr, iter_consts, *flat_in
                 )
-                g_theta = tuple(out[:n_theta])
-                g_z, g_gt, g_sn = out[n_theta], out[n_theta + 1], out[n_theta + 2]
-                acc = tuple(a + g for a, g in zip(acc, g_theta))
-                return (g_z, g_gt, g_sn, acc)
+                _accumulate(out[:n_theta_out])
+                if split:
+                    # Total cotangent of the point-(j+1) net OUTPUT — the
+                    # out-of-kernel weight-grad pass consumes the stack.
+                    gsn_ref[j + 1] = out[n_theta_out + 3]
+                return (
+                    out[n_theta_out],
+                    out[n_theta_out + 1],
+                    out[n_theta_out + 2],
+                )
 
             zero_b = jnp.zeros((dim_pad, block), jnp.float32)
-            g_z0, g_gt, g_sn, acc = jax.lax.fori_loop(
-                0, nbridges, body, (gzf_ref[:], zero_b, zero_b, acc0)
+            g_z0, g_gt, g_sn = jax.lax.fori_loop(
+                0, nbridges, body, (gzf_ref[:], zero_b, zero_b)
             )
-            fin = jax.core.eval_jaxpr(
-                final_jaxpr.jaxpr, final_consts,
-                *theta_vals, traj_ref[0], g_gt, g_sn,
-            )
-            acc = tuple(a + g for a, g in zip(acc, fin[:n_theta]))
-            gz0_ref[:] = g_z0 + fin[n_theta]
+            if split:
+                gsn_ref[0] = g_sn
+                g_z0_apps = jax.core.eval_jaxpr(
+                    final_jaxpr.jaxpr, final_consts,
+                    *final_args, traj_ref[0], g_gt, g_sn,
+                )[0]
+                gz0_ref[:] = g_z0 + g_z0_apps
+            else:
+                fin = jax.core.eval_jaxpr(
+                    final_jaxpr.jaxpr, final_consts,
+                    *final_args, traj_ref[0], g_gt, g_sn,
+                )
+                _accumulate(fin[:n_theta])
+                gz0_ref[:] = g_z0 + fin[n_theta]
         else:
             consts = all_consts
 
-            def body(t, carry):
-                g_z, acc = carry
+            def body(t, g_z):
                 j = nbridges - 1 - t
                 z = traj_ref[j]
                 xi = noise_ref[j]
                 flat_in = list(theta_vals) + [z, xi, j, g_z, c_row]
                 out = jax.core.eval_jaxpr(point_jaxpr.jaxpr, consts, *flat_in)
-                g_theta, g_z = tuple(out[:n_theta]), out[n_theta]
-                acc = tuple(a + g for a, g in zip(acc, g_theta))
-                return (g_z, acc)
+                _accumulate(out[:n_theta])
+                return out[n_theta]
 
-            g_z0, acc = jax.lax.fori_loop(
-                0, nbridges, body, (gzf_ref[:], acc0)
-            )
+            g_z0 = jax.lax.fori_loop(0, nbridges, body, gzf_ref[:])
             gz0_ref[:] = g_z0
-
-        for o_ref, g in zip(out_theta_refs, acc):
-            @pl.when(pid == 0)
-            def _init(o_ref=o_ref, g=g):
-                o_ref[:] = g
-
-            @pl.when(pid != 0)
-            def _acc(o_ref=o_ref, g=g):
-                o_ref[:] = o_ref[:] + g
 
     in_specs = [
         pl.BlockSpec(
@@ -527,15 +633,29 @@ def evolve_kl_bwd_pallas(
         pl.BlockSpec(
             t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM
         )
-        for t in theta
+        for t in theta[:n_theta_out]
     ]
-    out_shape = [jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta]
+    out_shape = [
+        jax.ShapeDtypeStruct(t.shape, jnp.float32)
+        for t in theta[:n_theta_out]
+    ]
     out_specs.append(
         pl.BlockSpec(
             (dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM
         )
     )
     out_shape.append(jax.ShapeDtypeStruct((dim_pad, n_pad), jnp.float32))
+    if split:
+        out_specs.append(
+            pl.BlockSpec(
+                (nbridges + 1, dim_pad, block),
+                lambda i: (0, 0, i),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((nbridges + 1, dim_pad, n_pad), jnp.float32)
+        )
 
     kwargs = vmem_limit_params(inputs, out_shape, interpret=interpret)
 
@@ -556,6 +676,41 @@ def evolve_kl_bwd_pallas(
         "vd_mean": g_mean[:dim, 0],
         "vd_logdiag": g_logdiag[:dim, 0],
     }
+
+    if split:
+        # Out-of-kernel weight gradients: one batched XLA vjp of the net
+        # applied to every stored trajectory point, seeded with the
+        # in-kernel per-point net-output cotangent stack. Exact f32; XLA
+        # schedules the big weight-grad einsums through HBM freely.
+        gsn_stack = outs[n_theta_out + 1]
+
+        def net_all(th_sn):
+            def per_j(carry, inp):
+                j, z_j = inp
+                return carry, sn_apply(th_sn, z_j, j)
+
+            _, outs_ = jax.lax.scan(
+                per_j, 0,
+                (jnp.arange(nbridges + 1), traj_t),
+            )
+            return outs_
+
+        (g_sn_theta,) = jax.vjp(net_all, theta[4:])[1](gsn_stack)
+        slots = list(g_sn_theta)
+        if arch == "pis":
+            from cmcd_tpu.ops.pallas_nets import pis_grads_unpack
+
+            grads["sn"] = pis_grads_unpack(slots, 0, dim, n_state)
+        elif arch == "pis_grad":
+            from cmcd_tpu.ops.pallas_nets import pis_grad_grads_unpack
+
+            grads["sn"] = pis_grad_grads_unpack(slots, 0, dim, n_tcg, n_state)
+        else:
+            from cmcd_tpu.ops.pallas_nets import geffner_grads_unpack
+
+            grads["sn"] = geffner_grads_unpack(slots, 0, dim, n_layers)
+        g_z0 = outs[n_theta_out][:dim, :n_chains].T
+        return grads, g_z0
 
     def _unpack_net(base):
         g_factor, g_emb_t, g_head_w, g_head_b = outs[base : base + 4]

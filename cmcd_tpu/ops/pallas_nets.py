@@ -161,9 +161,14 @@ def geffner_theta(weights):
 
 
 def geffner_apply_theta(th, z, i, dim, emb_dim, in_dim, sn_nbridges,
-                        n_layers):
+                        n_layers, compute_dtype=jnp.float32):
     """Geffner net forward in the transposed layout with weights from theta
-    slices (so jax.vjp reaches them). Matches pack_geffner_t ordering."""
+    slices (so jax.vjp reaches them). Matches pack_geffner_t ordering.
+
+    compute_dtype=bfloat16 runs the residual-layer math (matmul operands
+    and the softplus chain) in bf16 — double VPU lanes — with f32 MXU
+    accumulation and an f32 head output; the theta gradients keep their f32
+    dtypes (the VJP casts cotangents at the boundary)."""
     factor_arr, emb_t, head_w, head_b = th[:4]
     ws = th[4 : 4 + n_layers]
     bs = th[4 + n_layers : 4 + 2 * n_layers]
@@ -181,13 +186,21 @@ def geffner_apply_theta(th, z, i, dim, emb_dim, in_dim, sn_nbridges,
             [h, jnp.zeros((in_dim - dim - emb_dim, z.shape[1]), z.dtype)],
             axis=0,
         )
+    cd = compute_dtype
+    h = h.astype(cd)
     for w_t, b_col in zip(ws, bs):
-        h = h + jax.nn.softplus(
-            jnp.dot(w_t, h, preferred_element_type=jnp.float32) + b_col
+        pre = (
+            jnp.dot(
+                w_t.astype(cd), h, preferred_element_type=jnp.float32
+            ).astype(cd)
+            + b_col.astype(cd)
         )
-    return (
-        jnp.dot(head_w, h, preferred_element_type=jnp.float32) + head_b
-    ) * factor_arr[0, 0]
+        h = h + jax.nn.softplus(pre)
+    out = (
+        jnp.dot(head_w.astype(cd), h, preferred_element_type=jnp.float32)
+        + head_b
+    )
+    return out * factor_arr[0, 0]
 
 
 def geffner_grads_unpack(outs, base: int, dim: int, n_layers: int):
@@ -203,7 +216,7 @@ def geffner_grads_unpack(outs, base: int, dim: int, n_layers: int):
 
 
 def make_kernel_net(arch, sn_weights, sn_meta, dim, grad_logp_t=None,
-                    row_mask=None):
+                    row_mask=None, compute_dtype=jnp.float32):
     """Arch-generic kernel-side score net for the backward kernels.
 
     Returns (theta, apply_fn, unpack_fn):
@@ -213,6 +226,8 @@ def make_kernel_net(arch, sn_weights, sn_meta, dim, grad_logp_t=None,
       (untransposed) parameter pytree.
     Supported archs: "geffner" (pack_geffner_t), "pis" (pack_pis_t),
     "pis_grad" (pack_pis_grad_t — needs grad_logp_t + row_mask).
+    compute_dtype: geffner-only reduced-precision layer compute (see
+    geffner_apply_theta); the PIS archs stay f32.
     """
     if arch == "pis":
         channels = sn_meta["channels"]
@@ -253,7 +268,8 @@ def make_kernel_net(arch, sn_weights, sn_meta, dim, grad_logp_t=None,
 
     def apply_fn(th, z, i):
         return geffner_apply_theta(
-            th, z, i, dim, emb_dim, in_dim, sn_nbridges, n_layers
+            th, z, i, dim, emb_dim, in_dim, sn_nbridges, n_layers,
+            compute_dtype=compute_dtype,
         )
 
     def unpack_fn(outs, base):

@@ -83,6 +83,7 @@ def evolve_vargrad_bwd_replay(
     grad_clipping: bool = False,
     block: int = 1024,
     points_per_program: int = 1,
+    net_compute_dtype=jnp.float32,
     interpret: bool = False,
 ):
     """Batched-replay VarGrad backward: gradients from a STORED trajectory.
@@ -150,7 +151,7 @@ def evolve_vargrad_bwd_replay(
     arch = sn_meta.get("arch", "geffner")
     sn_theta, sn_apply, sn_unpack = make_kernel_net(
         arch, sn_weights, sn_meta, dim, grad_logp_t=grad_logp_t,
-        row_mask=row_mask,
+        row_mask=row_mask, compute_dtype=net_compute_dtype,
     )
     theta = (
         jnp.asarray(eps, jnp.float32).reshape(1, 1),

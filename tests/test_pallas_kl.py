@@ -104,6 +104,38 @@ def test_pallas_kl_grad_matches_scan(target_name, mode, eps_schedule):
     )
 
 
+def test_pallas_kl_split_weight_grads_match_scan(monkeypatch):
+    """net_grads_outside (the LGCP-size path: z-sweep in-kernel, weight
+    grads from the batched XLA vjp over the stored trajectory) must stay
+    gradient-exact vs the scan loss. Forced on via the size threshold."""
+    from cmcd_tpu.ops import fused_train
+
+    monkeypatch.setattr(fused_train, "_NET_GRADS_OUTSIDE_BYTES", 0)
+    n, nb = 96, 5
+    target, setup, params, ctx, key, noise = make_case(
+        "many_gmm", "MCD_CAIS_sn", nb, n
+    )
+
+    def pallas_loss(train):
+        return kl_bound_pallas(
+            {"train": train, "notrain": params["notrain"]}, key, n, ctx,
+            setup, target, block=128, noise=noise, interpret=True,
+        )[0]
+
+    l1, g1 = jax.value_and_grad(
+        scan_kl_loss_fn(params, ctx, key, n, noise, od.CAIS)
+    )(params["train"])
+    l2, g2 = jax.value_and_grad(pallas_loss)(params["train"])
+    onp.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+    f1, _ = jax.flatten_util.ravel_pytree(g1)
+    f2, _ = jax.flatten_util.ravel_pytree(g2)
+    scale = float(jnp.linalg.norm(f1))
+    assert float(jnp.linalg.norm(f1 - f2)) < 2e-4 * scale + 1e-4, (
+        float(jnp.linalg.norm(f1 - f2)),
+        scale,
+    )
+
+
 def test_pallas_kl_neg_elbos_match_scan():
     n, nb = 64, 4
     target, setup, params, ctx, key, noise = make_case(

@@ -187,6 +187,32 @@ def test_pallas_vargrad_dds_net_grad_matches_scan(nn_arch, backward):
     )
 
 
+def test_bf16_net_gradient_within_tolerance():
+    """bf16_net=True (reduced-precision layer compute in the replay
+    backward) must stay within an explicit tolerance of the f32 gradient —
+    an opt-in speed/precision trade (NEXT.md #1), not an exactness path."""
+    n, nb = 128, 6
+    target, setup, params, ctx, key, noise = make_case("many_gmm", nb, n)
+
+    def loss(train, bf16):
+        return var_bound_pallas(
+            {"train": train, "notrain": params["notrain"]}, key, n, ctx, setup,
+            target, block=128, noise=noise, interpret=True, backward="replay",
+            bf16_net=bf16,
+        )[0]
+
+    l32, g32 = jax.value_and_grad(lambda t: loss(t, False))(params["train"])
+    l16, g16 = jax.value_and_grad(lambda t: loss(t, True))(params["train"])
+    # The forward (loss) is identical — only the backward kernel differs.
+    onp.testing.assert_allclose(float(l32), float(l16), rtol=1e-6)
+    f32v, _ = jax.flatten_util.ravel_pytree(g32)
+    f16v, _ = jax.flatten_util.ravel_pytree(g16)
+    scale = float(jnp.linalg.norm(f32v))
+    rel = float(jnp.linalg.norm(f32v - f16v)) / (scale + 1e-12)
+    assert rel < 3e-2, rel  # bf16 has ~8 mantissa bits; ~1e-2 expected
+    assert rel > 0.0  # and it must actually be the reduced-precision path
+
+
 def test_vmem_estimate_matches_packed_bytes():
     """The VMEM gate must size the ACTUAL packed kernel weights for both
     architectures (round-2 estimate used the geffner layer formula for PIS
