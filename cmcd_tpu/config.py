@@ -132,6 +132,10 @@ def get_config() -> ml_collections.ConfigDict:
     # Fully-fused VarGrad training (Pallas forward + backward kernels);
     # applies to MCD_CAIS_var_sn on targets with a registered kernel score.
     config.use_pallas_train = True
+    # Reduced-precision (bf16) net storage/compute in the large-net fused
+    # KL backward — what lets the 1600-D LGCP train fused (gradient within
+    # ~1e-2 relative of f32; see ops/pallas_kl.py net_compute_dtype).
+    config.bf16_fused_net = False
     config.checkpoint_dir = ""
     config.checkpoint_every = 0  # 0 = disabled
     # Optimizer steps fused into one jitted dispatch (0 = auto, up to 100;

@@ -128,7 +128,8 @@ def run_experiment(config, logger: MetricLogger | None = None):
     if config.use_pallas_train and jax.default_backend() == "tpu":
         from cmcd_tpu.ops import supports_fused_train
 
-        if supports_fused_train(setup, target):
+        bf16_net = bool(config.bf16_fused_net)
+        if supports_fused_train(setup, target, bf16_net=bf16_net):
             if mode == "MCD_CAIS_var_sn":
                 if mesh is not None:
                     from cmcd_tpu import parallel
@@ -156,7 +157,8 @@ def run_experiment(config, logger: MetricLogger | None = None):
 
                     train_loss_fn = lambda p, k, n, c, s: (
                         parallel.sharded_kl_bound_pallas(
-                            p, k, n, c, s, target, mesh=mesh
+                            p, k, n, c, s, target, mesh=mesh,
+                            bf16_net=bf16_net,
                         )
                     )
                     print("Using SHARDED fused Pallas KL training path.")
@@ -164,11 +166,13 @@ def run_experiment(config, logger: MetricLogger | None = None):
                     from cmcd_tpu.ops.fused_train import kl_bound_pallas
 
                     train_loss_fn = lambda p, k, n, c, s: kl_bound_pallas(
-                        p, k, n, c, s, target
+                        p, k, n, c, s, target, bf16_net=bf16_net
                     )
                     print(
                         "Using fused Pallas KL training path "
-                        "(BPTT reverse-sweep kernel)."
+                        "(BPTT reverse-sweep kernel"
+                        + (", bf16 net" if bf16_net else "")
+                        + ")."
                     )
     if eval_elbo_fn is None and mesh is not None:
         from cmcd_tpu import parallel

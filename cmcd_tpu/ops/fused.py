@@ -70,7 +70,6 @@ def _pack_net(nn_arch: str):
 # budget — the backward kernels hold VJP activations on top of the weights.
 _VMEM_BUDGET = 96 * 1024 * 1024
 _VMEM_TRAIN_BUDGET = 48 * 1024 * 1024
-_VMEM_TRAIN_SPLIT_BUDGET = 64 * 1024 * 1024
 
 
 def _leaf_bytes(tree) -> int:
@@ -214,7 +213,8 @@ def choose_block(dim: int, n_chains: int, *, traj_arrays: int = 0,
     return block
 
 
-def supports_fused_train(setup: bounds.CMCDSetup, target) -> bool:
+def supports_fused_train(setup: bounds.CMCDSetup, target,
+                         bf16_net: bool = False) -> bool:
     """True if a fully-fused Pallas training loss can run: the VarGrad mode
     (ops/fused_train.var_bound_pallas, batched-replay backward) or a KL mode
     (ops/fused_train.kl_bound_pallas, reverse-sweep BPTT backward), with a
@@ -240,16 +240,28 @@ def supports_fused_train(setup: bounds.CMCDSetup, target) -> bool:
         and grad_t_for_target(target, _dim_pad(setup.dim)) is None
     ):
         return False
-    budget = _VMEM_TRAIN_BUDGET
+    est = _vmem_estimate(setup, target, default_block(setup.dim))
+    sn_b = _packed_sn_bytes(setup)
+    from cmcd_tpu.ops.fused_train import _NET_GRADS_OUTSIDE_BYTES
+
+    if sn_b <= _NET_GRADS_OUTSIDE_BYTES:
+        # Ordinary in-kernel weight-grad backward.
+        return est < _VMEM_TRAIN_BUDGET
     if setup.mode == "MCD_CAIS_sn":
-        # The CAIS KL backward moves weight gradients out of the kernel for
-        # large nets (pallas_kl net_grads_outside), so the weights enter
-        # VMEM once with no weight-sized outputs — measured on hardware:
-        # the 1600-D LGCP (estimate 48 MB) compiles and runs.
-        budget = _VMEM_TRAIN_SPLIT_BUDGET
-    return (
-        _vmem_estimate(setup, target, default_block(setup.dim)) < budget
-    )
+        # Large net -> split sweep (pallas_kl net_grads_outside). Hardware-
+        # calibrated VMEM model (1600-D LGCP measurements): weight windows
+        # plus their on-core copies and VJP spill scale ~3.2x the stored
+        # weight bytes, on top of state/consts and ~30 MB fixed; keep ~8 MB
+        # headroom under the 128 MB physical ceiling. f32 LGCP (31.4 MB
+        # packed) measured at 133.6 MB -> rejected; bf16 storage halves the
+        # weight term and fits.
+        sn_eff = (
+            sn_b // 2 if (bf16_net and setup.nn_arch == "geffner") else sn_b
+        )
+        need = (16 * sn_eff) // 5 + (est - sn_b) + 30 * 1024 * 1024
+        return need < 120 * 1024 * 1024
+    # Other modes keep weight grads in-kernel; at this size they spill.
+    return False
 
 
 def compute_elbos_fused(

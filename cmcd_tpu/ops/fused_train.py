@@ -248,7 +248,8 @@ def neg_elbos_pallas(
     return -w, z_final
 
 
-def _make_evolve_kl(setup, target, n_chains, block, interpret, spec):
+def _make_evolve_kl(setup, target, n_chains, block, interpret, spec,
+                    bf16_net=False):
     """custom_vjp'd (theta, z0, seed, noise) -> (deltas, z_final) for the
     KL-trained overdamped modes (full BPTT — no stop-gradients).
 
@@ -263,6 +264,21 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec):
     dim_pad = _dim_pad(dim)
     grad_t = grad_t_for_target(target, dim_pad)
     use_sn = spec.fwd_sn or spec.bwd_sn
+    # Large nets: weight grads leave the sweep kernel (see pallas_kl
+    # net_grads_outside); the split kernel also reconstructs xi from the
+    # trajectory, so the forward need not store (nor the backward load) the
+    # noise stack. Only the CAIS carry structure supports it.
+    from cmcd_tpu.ops.fused import _packed_sn_bytes
+
+    split = bool(
+        use_sn
+        and spec.fwd_sn
+        and spec.bwd_sn
+        and spec.bwd_sn_offset == 1
+        and not spec.use_sn2_bwd
+        and _packed_sn_bytes(setup) > _NET_GRADS_OUTSIDE_BYTES
+    )
+    bf16_net = bf16_net and split
 
     def _pack(theta):
         from cmcd_tpu.ops.fused import _pack_net
@@ -297,10 +313,13 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec):
             block=block,
             noise=noise,
             return_trajectory_t=True,
-            return_noise_t=not inject,
+            return_noise_t=not inject and not split,
             interpret=interpret,
         )
-        if inject:
+        if split:
+            z_final, deltas, traj_t = out[:3]
+            noise_t = None
+        elif inject:
             z_final, deltas, traj_t = out
             n_pad = traj_t.shape[2]
             noise_t = (
@@ -327,14 +346,6 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec):
         theta, traj_t, noise_t, noise = res
         g_deltas, g_zfinal = cots  # BOTH live for KL
         sn_weights, sn_meta, sn2_weights = _pack(theta)
-        # Large nets (LGCP: ~31 MB packed): keep the weight-grad matmuls
-        # out of the sweep kernel — in-kernel weight gradients spill past
-        # physical VMEM (see evolve_kl_bwd_pallas net_grads_outside).
-        sn_bytes = sum(
-            int(leaf.size) * 4
-            for leaf in jax.tree_util.tree_leaves(sn_weights)
-            if hasattr(leaf, "size")
-        )
         grads, g_z0 = evolve_kl_bwd_pallas(
             traj_t,
             noise_t,
@@ -355,7 +366,8 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec):
             eps_schedule=setup.eps_schedule,
             grad_clipping=setup.grad_clipping,
             block=block,
-            net_grads_outside=sn_bytes > _NET_GRADS_OUTSIDE_BYTES,
+            net_grads_outside=split,
+            net_compute_dtype=(jnp.bfloat16 if bf16_net else jnp.float32),
             interpret=interpret,
         )
         g_theta = {
@@ -646,6 +658,7 @@ def neg_elbos_pallas_kl(
     block: int | None = None,
     noise=None,
     interpret: bool = False,
+    bf16_net: bool = False,
 ):
     """Per-chain negative ELBOs via the fused forward kernel, differentiable
     in params through the reverse-sweep BPTT backward kernels (full
@@ -703,7 +716,9 @@ def neg_elbos_pallas_kl(
         theta["sn"] = p["sn"]
     if spec.use_sn2_bwd:
         theta["sn2"] = p["sn2"]
-    evolve = _make_evolve_kl(setup, target, n_chains, block, interpret, spec)
+    evolve = _make_evolve_kl(
+        setup, target, n_chains, block, interpret, spec, bf16_net
+    )
     # z0 is DIFFERENTIABLE through evolve here (BPTT), unlike VarGrad.
     deltas, z_final = evolve(theta, z0, seed, noise)
 
@@ -722,13 +737,17 @@ def kl_bound_pallas(
     block: int | None = None,
     noise=None,
     interpret: bool = False,
+    bf16_net: bool = False,
 ):
     """KL training loss (mean negative ELBO) with fused Pallas forward AND
     reverse-sweep BPTT backward. Same contract as bounds.kl_bound
-    (loss, (neg_elbos, z)) plus the target argument."""
+    (loss, (neg_elbos, z)) plus the target argument.
+
+    bf16_net: reduced-precision sweep for large nets (LGCP-size) — see
+    evolve_kl_bwd_pallas net_compute_dtype. Ignored off the split path."""
     neg_elbos, z_final = neg_elbos_pallas_kl(
         params, key, n_chains, ctx, setup, target,
-        block=block, noise=noise, interpret=interpret,
+        block=block, noise=noise, interpret=interpret, bf16_net=bf16_net,
     )
     return jnp.mean(neg_elbos), (neg_elbos, z_final)
 

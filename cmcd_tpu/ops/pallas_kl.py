@@ -67,6 +67,7 @@ def evolve_kl_bwd_pallas(
     grad_clipping: bool = False,
     block: int = 1024,
     net_grads_outside: bool = False,
+    net_compute_dtype=jnp.float32,
     interpret: bool = False,
 ):
     """Reverse-sweep BPTT gradients from stored (trajectory, noise).
@@ -77,9 +78,15 @@ def evolve_kl_bwd_pallas(
     emits each trajectory point's net-output cotangent to a stack; the
     weight gradients come from one batched XLA vjp over the stored
     trajectory afterwards. Exact f32 either way — this moves ~3x the packed
-    weight bytes out of the kernel's VMEM footprint, which is what lets the
-    1600-D LGCP KL backward compile (f32 in-kernel weight grads spill ~80 MB
-    past the 128 MB physical VMEM).
+    weight bytes out of the kernel's VMEM footprint (f32 in-kernel weight
+    grads spill ~80 MB past the 128 MB physical VMEM on the 1600-D LGCP).
+
+    net_compute_dtype=bfloat16 (split + geffner only) additionally stores
+    the net weights in the sweep kernel as bf16 and runs the layer chain in
+    bf16 (f32 MXU accumulation) — the weight windows AND their on-core
+    copies halve, which is what finally fits LGCP under 128 MB. The
+    out-of-kernel weight-grad pass stays f32; the overall gradient is
+    bf16-accurate (~1e-2 relative), pinned by test.
 
     traj_t: (nbridges + 1, dim_pad, n_pad); noise_t: (nbridges, dim_pad,
     n_pad) — raw transposed outputs of the forward kernel.
@@ -92,7 +99,7 @@ def evolve_kl_bwd_pallas(
     """
     n_traj, dim_pad, n_pad = traj_t.shape
     assert n_traj == nbridges + 1
-    assert noise_t.shape == (nbridges, dim_pad, n_pad)
+    assert noise_t is None or noise_t.shape == (nbridges, dim_pad, n_pad)
     block = _round_up(block, LANE)
     if n_pad % block != 0:
         block = next(
@@ -302,6 +309,38 @@ def evolve_kl_bwd_pallas(
     # but get no gradient outputs.
     n_theta_out = 4 if split else n_theta
 
+    # bf16 split sweep: keep the f32 weights + apply for the out-of-kernel
+    # weight-grad pass, hand the KERNEL bf16 copies and a bf16-layer apply.
+    sn_apply_f32 = sn_apply
+    sn_theta_f32 = sn_theta
+    if split and net_compute_dtype != jnp.float32:
+        assert arch == "geffner", "reduced-precision split sweep is geffner-only"
+        from cmcd_tpu.ops.pallas_nets import geffner_apply_theta as _gapply
+
+        # bf16 STORAGE, f32 COMPUTE: the weights enter the kernel as bf16
+        # windows (half the VMEM) and are upcast ONCE per kernel invocation
+        # (the kernel body hoists the f32 copy before the reverse loop) —
+        # the single loop-invariant f32 value then serves every forward and
+        # transpose matmul. Feeding matmuls bf16 operands instead makes
+        # autodiff's transposes mixed-dtype, materializing per-iteration
+        # f32 weight copies (measured: 145.8 MB); per-application upcasts
+        # doubled the live copies (134.0); plain f32 storage leaves the
+        # windows too big (133.6).
+        def sn_apply(th, z, i):
+            return _gapply(
+                th, z, i, dim, emb_dim, in_dim, sn_nbridges, n_layers,
+            )
+
+        cast_sn = tuple(
+            t.astype(net_compute_dtype) if t.ndim >= 2 and t.size > 4096
+            else t
+            for t in sn_theta
+        )
+        theta = theta[:4] + cast_sn
+        # The jaxprs trace on the f32 (upcast) values the kernel body
+        # produces, NOT the bf16 storage dtypes.
+        sn_theta = cast_sn
+
     def _drift_from(z, gt_raw, mean_c, logdiag_c, beta):
         """grad_u with the raw target score as an explicit input (so the
         shared application's transpose can be factored out)."""
@@ -379,13 +418,31 @@ def evolve_kl_bwd_pallas(
     def apps_fn_split(th_net, z, j):
         return grad_logp_t(z), sn_apply(th_net, z, j)
 
-    def iter_fn_split(theta_small, th_net, z_j, gt_j, sn_j, xi, j,
+    def iter_fn_split(theta_small, th_net, z_j, gt_j, sn_j, z_jp, j,
                       g_zp, g_gt, g_sn, c_row):
         """iter_fn with the net weights outside the vjp: th_net enters by
         closure (no weight cotangents, no weight-sized temporaries); the
         zero dummy added to sn_up extracts the point-(j+1) net-output
-        cotangent for the out-of-kernel weight-grad pass."""
+        cotangent for the out-of-kernel weight-grad pass.
+
+        The noise draw is NOT an input: xi is reconstructed (as data) from
+        the stored trajectory via the forward recursion — the split kernel
+        carries no noise stack at all, saving its VMEM window and the
+        forward's noise output."""
         dummy = jnp.zeros((dim_pad, block), jnp.float32)
+
+        # Data-only reconstruction (1-ulp of the stored draw): the vjp
+        # below re-derives z_next = fk_mean + scale * xi differentiably.
+        beta_v, eps_v = _beta_eps(theta_small, j)
+        fk_mean_v = (
+            z_j
+            - eps_v * _drift_from(z_j, gt_j, theta_small[2], theta_small[3],
+                                  beta_v)
+            - eps_v * sn_j
+        )
+        xi = jax.lax.stop_gradient(
+            (z_jp - fk_mean_v) / jnp.sqrt(2.0 * eps_v)
+        )
 
         def f(ths, z_lo, gt_lo, sn_lo, xi_, dmy):
             beta, eps_j = _beta_eps(ths, j)
@@ -424,8 +481,10 @@ def evolve_kl_bwd_pallas(
         return g_z
 
     zb = jax.ShapeDtypeStruct((dim_pad, block), jnp.float32)
+    # bf16-stored entries are upcast to f32 by the kernel body before any
+    # jaxpr runs; trace on the compute dtypes.
     theta_example = tuple(
-        jax.ShapeDtypeStruct(t.shape, t.dtype) for t in theta
+        jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta
     )
     if split:
         iter_jaxpr = jax.make_jaxpr(iter_fn_split)(
@@ -434,7 +493,7 @@ def evolve_kl_bwd_pallas(
             zb,  # z_j
             zb,  # gt_j
             zb,  # sn_j
-            zb,  # xi
+            zb,  # z_{j+1} (noise reconstructed from the trajectory)
             jax.ShapeDtypeStruct((), jnp.int32),  # j
             zb,  # g_zp
             zb,  # g_gt
@@ -498,7 +557,9 @@ def evolve_kl_bwd_pallas(
     def kernel(*refs):
         idx = 0
         traj_ref = refs[idx]; idx += 1
-        noise_ref = refs[idx]; idx += 1
+        noise_ref = None
+        if not split:  # split reconstructs xi from the trajectory
+            noise_ref = refs[idx]; idx += 1
         c_ref = refs[idx]; idx += 1
         gzf_ref = refs[idx]; idx += 1
         theta_refs = refs[idx : idx + n_theta]; idx += n_theta
@@ -513,7 +574,8 @@ def evolve_kl_bwd_pallas(
         pid = pl.program_id(0)
 
         all_consts = unpack_consts(const_shapes, const_refs)
-        theta_vals = tuple(r[:] for r in theta_refs)
+        # Upcast bf16-stored weights ONCE; the f32 values are loop-invariant.
+        theta_vals = tuple(r[:].astype(jnp.float32) for r in theta_refs)
         c_row = c_ref[0:1, :]
 
         # Parameter gradients accumulate IN the output refs (zeroed by the
@@ -544,8 +606,9 @@ def evolve_kl_bwd_pallas(
                 gt_j, sn_j = jax.core.eval_jaxpr(
                     apps_jaxpr.jaxpr, apps_consts, *apps_args, z_j, j
                 )
+                stoch = traj_ref[j + 1] if split else noise_ref[j]
                 flat_in = list(theta_vals) + [
-                    z_j, gt_j, sn_j, noise_ref[j], j,
+                    z_j, gt_j, sn_j, stoch, j,
                     g_z, g_gt, g_sn, c_row,
                 ]
                 out = jax.core.eval_jaxpr(
@@ -601,17 +664,25 @@ def evolve_kl_bwd_pallas(
             lambda i: (0, 0, i),
             memory_space=pltpu.VMEM,
         ),
-        pl.BlockSpec(
-            (nbridges, dim_pad, block),
-            lambda i: (0, 0, i),
-            memory_space=pltpu.VMEM,
-        ),
+    ]
+    inputs = [traj_t]
+    if not split:  # split reconstructs xi from the trajectory
+        assert noise_t is not None
+        in_specs.append(
+            pl.BlockSpec(
+                (nbridges, dim_pad, block),
+                lambda i: (0, 0, i),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(noise_t)
+    in_specs += [
         pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec(
             (dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
     ]
-    inputs = [traj_t, noise_t, cot_rows, gzf_t]
+    inputs += [cot_rows, gzf_t]
     for t in theta:
         in_specs.append(
             pl.BlockSpec(
@@ -657,7 +728,16 @@ def evolve_kl_bwd_pallas(
             jax.ShapeDtypeStruct((nbridges + 1, dim_pad, n_pad), jnp.float32)
         )
 
-    kwargs = vmem_limit_params(inputs, out_shape, interpret=interpret)
+    # Split mode: the in-kernel f32 upcasts of the bf16-stored weights and
+    # the z-path VJP temporaries live OUTSIDE the operand estimate — give
+    # the scoped-limit check explicit headroom (it only raises the check,
+    # never allocations; measured need on the 1600-D LGCP: 89.5 MB against
+    # an 80.8 MB operand-derived limit).
+    kwargs = vmem_limit_params(
+        inputs, out_shape,
+        extra_bytes=(48 * 1024 * 1024 if split else 0),
+        interpret=interpret,
+    )
 
     outs = pl.pallas_call(
         kernel,
@@ -687,7 +767,7 @@ def evolve_kl_bwd_pallas(
         def net_all(th_sn):
             def per_j(carry, inp):
                 j, z_j = inp
-                return carry, sn_apply(th_sn, z_j, j)
+                return carry, sn_apply_f32(th_sn, z_j, j)
 
             _, outs_ = jax.lax.scan(
                 per_j, 0,
@@ -695,7 +775,7 @@ def evolve_kl_bwd_pallas(
             )
             return outs_
 
-        (g_sn_theta,) = jax.vjp(net_all, theta[4:])[1](gsn_stack)
+        (g_sn_theta,) = jax.vjp(net_all, sn_theta_f32)[1](gsn_stack)
         slots = list(g_sn_theta)
         if arch == "pis":
             from cmcd_tpu.ops.pallas_nets import pis_grads_unpack

@@ -165,10 +165,12 @@ def geffner_apply_theta(th, z, i, dim, emb_dim, in_dim, sn_nbridges,
     """Geffner net forward in the transposed layout with weights from theta
     slices (so jax.vjp reaches them). Matches pack_geffner_t ordering.
 
-    compute_dtype=bfloat16 runs the residual-layer math (matmul operands
-    and the softplus chain) in bf16 — double VPU lanes — with f32 MXU
-    accumulation and an f32 head output; the theta gradients keep their f32
-    dtypes (the VJP casts cotangents at the boundary)."""
+    compute_dtype=bfloat16 feeds the layer MATMULS bf16 operands (f32 MXU
+    accumulation); the softplus chain and head output stay f32 — Mosaic
+    cannot lower bf16 comparisons (hit on v5e: "Target does not support
+    this comparison" from softplus), and the point of bf16 here is the
+    halved weight storage, not elementwise lanes. Theta gradients keep
+    their input dtypes (the VJP casts cotangents at the boundary)."""
     factor_arr, emb_t, head_w, head_b = th[:4]
     ws = th[4 : 4 + n_layers]
     bs = th[4 + n_layers : 4 + 2 * n_layers]
@@ -187,18 +189,21 @@ def geffner_apply_theta(th, z, i, dim, emb_dim, in_dim, sn_nbridges,
             axis=0,
         )
     cd = compute_dtype
-    h = h.astype(cd)
     for w_t, b_col in zip(ws, bs):
         pre = (
             jnp.dot(
-                w_t.astype(cd), h, preferred_element_type=jnp.float32
-            ).astype(cd)
-            + b_col.astype(cd)
+                w_t.astype(cd), h.astype(cd),
+                preferred_element_type=jnp.float32,
+            )
+            + b_col.astype(jnp.float32)
         )
         h = h + jax.nn.softplus(pre)
     out = (
-        jnp.dot(head_w.astype(cd), h, preferred_element_type=jnp.float32)
-        + head_b
+        jnp.dot(
+            head_w.astype(cd), h.astype(cd),
+            preferred_element_type=jnp.float32,
+        )
+        + head_b.astype(jnp.float32)
     )
     return out * factor_arr[0, 0]
 

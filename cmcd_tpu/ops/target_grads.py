@@ -436,6 +436,7 @@ def make_lgcp_grad_t(dim_pad: int, use_whitened: bool = False):
     grad = -Sigma^{-1}(z - mu) + counts - a exp(z), with Sigma^{-1}(z-mu)
     computed as L^{-T} (L^{-1} (z - mu)) — two dense (D, D) @ (D, B) MXU
     matmuls. Whitened: grad = -w + L^T (counts - a exp(Lw + mu))."""
+    import jax
     import numpy as onp
 
     from cmcd_tpu.targets import lgcp as L
@@ -465,24 +466,64 @@ def make_lgcp_grad_t(dim_pad: int, use_whitened: bool = False):
     )
     counts_col = jnp.asarray(counts, jnp.float32)[:, None]
 
+    chol_t = jnp.asarray(chol.T.copy(), jnp.float32)
+
+    def _pad(g, b, ref):
+        if dim_pad == num_dim:
+            return g
+        return jnp.concatenate(
+            [g, jnp.zeros((dim_pad - num_dim, b), ref.dtype)], axis=0
+        )
+
+    # Hand-written (custom_vjp) score Jacobian transposes: the score's
+    # Jacobian is SYMMETRIC (-Sigma^{-1} - a diag(e^z); whitened:
+    # -I + L^T diag(-a e^x) L), so the HVP the KL backward needs reuses the
+    # SAME host constants — autodiff's transpose would instead materialize
+    # an in-kernel transpose of the 10 MB precision matrix (Mosaic spill /
+    # RET_CHECK hazard, CLAUDE.md rule 8).
+    @jax.custom_vjp
     def grad_unwhitened(z_t):
         z = z_t[:num_dim]
         g_prior = -jnp.dot(gram_inv, z - mu, preferred_element_type=jnp.float32)
         g = g_prior + counts_col - a * jnp.exp(z)
-        if dim_pad == num_dim:
-            return g
-        pad = jnp.zeros((dim_pad - num_dim, z_t.shape[1]), z_t.dtype)
-        return jnp.concatenate([g, pad], axis=0)
+        return _pad(g, z_t.shape[1], z_t)
 
+    def _unwhitened_fwd(z_t):
+        return grad_unwhitened(z_t), z_t
+
+    def _unwhitened_bwd(z_t, ct):
+        z = z_t[:num_dim]
+        c = ct[:num_dim]
+        g = (
+            -jnp.dot(gram_inv, c, preferred_element_type=jnp.float32)
+            - a * jnp.exp(z) * c
+        )
+        return (_pad(g, z_t.shape[1], z_t),)
+
+    grad_unwhitened.defvjp(_unwhitened_fwd, _unwhitened_bwd)
+
+    @jax.custom_vjp
     def grad_whitened(w_t):
         w = w_t[:num_dim]
         latents = jnp.dot(chol_f, w, preferred_element_type=jnp.float32) + mu
         resid = counts_col - a * jnp.exp(latents)
-        g = -w + jnp.dot(chol_f.T, resid, preferred_element_type=jnp.float32)
-        if dim_pad == num_dim:
-            return g
-        pad = jnp.zeros((dim_pad - num_dim, w_t.shape[1]), w_t.dtype)
-        return jnp.concatenate([g, pad], axis=0)
+        g = -w + jnp.dot(chol_t, resid, preferred_element_type=jnp.float32)
+        return _pad(g, w_t.shape[1], w_t)
+
+    def _whitened_fwd(w_t):
+        return grad_whitened(w_t), w_t
+
+    def _whitened_bwd(w_t, ct):
+        w = w_t[:num_dim]
+        c = ct[:num_dim]
+        latents = jnp.dot(chol_f, w, preferred_element_type=jnp.float32) + mu
+        inner = a * jnp.exp(latents) * jnp.dot(
+            chol_f, c, preferred_element_type=jnp.float32
+        )
+        g = -c - jnp.dot(chol_t, inner, preferred_element_type=jnp.float32)
+        return (_pad(g, w_t.shape[1], w_t),)
+
+    grad_whitened.defvjp(_whitened_fwd, _whitened_bwd)
 
     return grad_whitened if use_whitened else grad_unwhitened
 

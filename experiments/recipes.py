@@ -73,6 +73,9 @@ RECIPES = {
             "pretrain_mfvi": True,
             "lr": 1e-4,
             "n_samples": 500,
+            # 1600-D net: fused KL training needs the bf16 split backward
+            # (ops/pallas_kl.py net_grads_outside + net_compute_dtype).
+            "bf16_fused_net": True,
         },
         ln_z_true=None,
         ln_z_tol=None,

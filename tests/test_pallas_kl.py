@@ -136,6 +136,37 @@ def test_pallas_kl_split_weight_grads_match_scan(monkeypatch):
     )
 
 
+def test_pallas_kl_split_bf16_within_tolerance(monkeypatch):
+    """The reduced-precision split sweep (bf16 weight storage + layer
+    compute — what the 1600-D LGCP needs to fit VMEM) must stay within an
+    explicit tolerance of the f32 gradient."""
+    from cmcd_tpu.ops import fused_train
+
+    monkeypatch.setattr(fused_train, "_NET_GRADS_OUTSIDE_BYTES", 0)
+    n, nb = 96, 5
+    # Wide enough that the layer matrices pass the bf16-storage size gate
+    # (entries > 4096 elements; see pallas_kl net_compute_dtype).
+    target, setup, params, ctx, key, noise = make_case(
+        "many_gmm", "MCD_CAIS_sn", nb, n, emb_dim=80
+    )
+
+    def loss(train, bf16):
+        return kl_bound_pallas(
+            {"train": train, "notrain": params["notrain"]}, key, n, ctx,
+            setup, target, block=128, noise=noise, interpret=True,
+            bf16_net=bf16,
+        )[0]
+
+    l32, g32 = jax.value_and_grad(lambda t: loss(t, False))(params["train"])
+    l16, g16 = jax.value_and_grad(lambda t: loss(t, True))(params["train"])
+    onp.testing.assert_allclose(float(l32), float(l16), rtol=1e-6)
+    f32v, _ = jax.flatten_util.ravel_pytree(g32)
+    f16v, _ = jax.flatten_util.ravel_pytree(g16)
+    scale = float(jnp.linalg.norm(f32v))
+    rel = float(jnp.linalg.norm(f32v - f16v)) / (scale + 1e-12)
+    assert 0.0 < rel < 3e-2, rel
+
+
 def test_pallas_kl_neg_elbos_match_scan():
     n, nb = 64, 4
     target, setup, params, ctx, key, noise = make_case(

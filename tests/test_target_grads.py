@@ -131,6 +131,27 @@ def test_lgcp_grad_t_whitened():
     onp.testing.assert_allclose(got.T, want, atol=2e-2, rtol=1e-3)
 
 
+@pytest.mark.parametrize("whitened", [False, True])
+def test_lgcp_grad_t_custom_vjp_matches_autodiff(whitened):
+    """The hand-written (symmetric-Jacobian) custom_vjp of the LGCP score —
+    what the KL backward's HVP uses — must equal autodiff of the batched
+    target score."""
+    from cmcd_tpu.targets.lgcp import make_lgcp
+
+    t = make_lgcp(use_whitened=whitened)
+    grad_t = tg.make_lgcp_grad_t(1600, use_whitened=whitened)
+    z = jax.random.normal(jax.random.PRNGKey(7), (4, 1600)) * 0.3
+    ct = jax.random.normal(jax.random.PRNGKey(8), (4, 1600))
+
+    score = jax.grad(lambda q: jnp.sum(t.log_prob(q)))
+    _, vjp_ref = jax.vjp(score, z)
+    want = onp.asarray(vjp_ref(ct)[0])
+
+    _, vjp_k = jax.vjp(grad_t, z.T)
+    got = onp.asarray(vjp_k(ct.T)[0]).T
+    onp.testing.assert_allclose(got, want, atol=5e-2, rtol=1e-3)
+
+
 def test_banana_grad_t():
     t = load_target("banana")
     check(t, tg.make_banana_grad_t(8), 8, scale=5.0)
