@@ -597,7 +597,11 @@ def evolve_overdamped_pallas(
     # large-dim targets (LGCP: ~40 MB of weights + a 10 MB precision
     # matrix) run fused at all.
     kwargs = vmem_limit_params(
-        inputs, out_shape, extra_bytes=10 * dim_pad * block * 4,
+        inputs, out_shape,
+        # Step temporaries + compiler stack beyond the operand estimate
+        # (measured on the 1600-D LGCP eval: 99.3 MB needed vs a 98.2 MB
+        # 10-row margin — the limit only raises the check).
+        extra_bytes=10 * dim_pad * block * 4 + 4 * 1024 * 1024,
         interpret=interpret,
     )
     outs = pl.pallas_call(
