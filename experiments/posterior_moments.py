@@ -1,0 +1,115 @@
+"""Posterior-moment parity: trained-CMCD importance-weighted moments vs an
+independent anchor.
+
+Trains a CMCD sampler on a posterior target, draws weighted chains, and
+compares self-normalized importance-sampling moments against reference
+moments — the check RESULTS.md records for seeds (vs the reference's table)
+and lorenz (vs the FFBS smoothing anchor, experiments/lorenz_anchor.py,
+committed at experiments/data/lorenz_ffbs_moments.npz).
+
+Usage:
+  python -m experiments.posterior_moments lorenz \
+      [--anchor experiments/data/lorenz_ffbs_moments.npz] \
+      [--iters 20000] [--mfvi 30000] [--nbridges 8] [--n 8000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+def train_sampler(target, *, nbridges, iters, mfvi_iters, lr, emb_dim=20,
+                  batch_size=300, seed=0):
+    import cmcd_tpu
+    from cmcd_tpu.train import mfvi_pretrain, train
+
+    key = jax.random.PRNGKey(seed)
+    vdparams = None
+    if mfvi_iters > 0:
+        vdparams, elbo0, _ = mfvi_pretrain(
+            target.dim, target.log_prob, lr=0.01, iters=mfvi_iters,
+            batch_size=batch_size, key=key,
+        )
+        print(f"MFVI ELBO {elbo0:.2f}")
+    setup = cmcd_tpu.CMCDSetup(
+        mode="MCD_CAIS_sn", dim=target.dim, nbridges=nbridges,
+        emb_dim=emb_dim, grad_clipping=True,
+    )
+    trainable = cmcd_tpu.default_trainable(setup.mode)
+    params, ctx = cmcd_tpu.initialize(
+        setup, target.log_prob, eps=0.01, trainable=trainable,
+        vdparams=vdparams,
+    )
+    res = train(
+        setup, params, ctx, lr=lr, iters=iters, batch_size=batch_size,
+        key=jax.random.fold_in(key, 1), trainable=trainable,
+    )
+    return res.params, ctx, setup
+
+
+def weighted_moments(params, ctx, setup, target, *, n_chains, key):
+    """Self-normalized IS moments from n_chains trained-sampler draws.
+    Returns (mean (dim,), std (dim,), ess)."""
+    from cmcd_tpu import bounds
+
+    neg_elbos, z = bounds.compute_elbos(params, key, n_chains, ctx, setup)
+    logw = -neg_elbos
+    p = jax.nn.softmax(logw)
+    ess = 1.0 / jnp.sum(p * p)
+    mean = jnp.sum(p[:, None] * z, axis=0)
+    var = jnp.sum(p[:, None] * (z - mean) ** 2, axis=0)
+    return mean, jnp.sqrt(var), ess
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("target", type=str)
+    ap.add_argument("--anchor", type=str,
+                    default="experiments/data/lorenz_ffbs_moments.npz")
+    ap.add_argument("--iters", type=int, default=20000)
+    ap.add_argument("--mfvi", type=int, default=30000)
+    ap.add_argument("--nbridges", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--n", type=int, default=8000)
+    args = ap.parse_args()
+
+    import cmcd_tpu
+
+    target = cmcd_tpu.load_target(args.target)
+    params, ctx, setup = train_sampler(
+        target, nbridges=args.nbridges, iters=args.iters,
+        mfvi_iters=args.mfvi, lr=args.lr,
+    )
+    mean, std, ess = weighted_moments(
+        params, ctx, setup, target, n_chains=args.n,
+        key=jax.random.PRNGKey(7),
+    )
+    print(f"IS moments from {args.n} chains, ESS {float(ess):.0f}")
+
+    if args.anchor and os.path.exists(args.anchor):
+        import numpy as onp
+
+        a = onp.load(args.anchor)
+        a_mean, a_std = a["mean"], a["std"]
+        dev = onp.abs(onp.asarray(mean) - a_mean) / (a_std + 1e-6)
+        spread = a.get("seed_spread")
+        print("parity vs anchor (|mean diff| in anchor-std units):")
+        print(f"  median {onp.median(dev):.3f}  p90 {onp.percentile(dev, 90):.3f}"
+              f"  max {dev.max():.3f} (coord {int(dev.argmax())})")
+        if spread is not None:
+            print(f"  anchor's own seed spread, max: {spread.max():.4f}")
+        worst = onp.argsort(dev)[-5:][::-1]
+        for k in worst:
+            print(f"    coord {k}: cmcd {float(mean[k]):+.4f}±{float(std[k]):.4f}"
+                  f"  anchor {a_mean[k]:+.4f}±{a_std[k]:.4f}")
+    else:
+        for k in range(0, target.dim, max(target.dim // 10, 1)):
+            print(f"  coord {k}: {float(mean[k]):+.4f}±{float(std[k]):.4f}")
+
+
+if __name__ == "__main__":
+    main()
