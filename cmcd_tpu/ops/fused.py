@@ -258,7 +258,19 @@ def supports_fused_train(setup: bounds.CMCDSetup, target,
         sn_eff = (
             sn_b // 2 if (bf16_net and setup.nn_arch == "geffner") else sn_b
         )
-        need = (16 * sn_eff) // 5 + (est - sn_b) + 30 * 1024 * 1024
+        block = choose_block(
+            setup.dim, 128, traj_arrays=2, nbridges=setup.nbridges
+        )
+        # Trajectory + cotangent-stack windows are whole (K+1) stacks per
+        # program — they scale with nbridges (LGCP K=256 would need 420 MB
+        # of windows alone; the scan path handles that regime).
+        traj_windows = 2 * (setup.nbridges + 1) * _dim_pad(setup.dim) * block * 4
+        need = (
+            (16 * sn_eff) // 5
+            + (est - sn_b)
+            + traj_windows
+            + 16 * 1024 * 1024
+        )
         return need < 120 * 1024 * 1024
     # Other modes keep weight grads in-kernel; at this size they spill.
     return False
