@@ -113,10 +113,14 @@ def _train_step_factory(loss_builder, trainable):
 
 
 def bench_train(n, nbridges, emb_dim, iters, repeats, use_pallas,
-                steps_per_call=1):
+                steps_per_call=1, bf16_net=False):
     """Per-step time of the training loop main.py runs: optionally with the
     trainer's step-chunking (steps_per_call updates per jitted dispatch,
-    train/trainer.py) which amortizes this relay's ~1.5 ms host dispatch."""
+    train/trainer.py) which amortizes this relay's ~1.5 ms host dispatch.
+    bf16_net runs the replay backward's score-net math in bf16 (2x VPU
+    lanes; gradient within 3e-2 relative of f32 by test) — measured 1.10x
+    at the flagship size, kept off the default A/B to preserve the f32
+    gradient-exactness contract."""
     import cmcd_tpu
     from cmcd_tpu.utils import const_hoisted_jit
 
@@ -125,7 +129,9 @@ def bench_train(n, nbridges, emb_dim, iters, repeats, use_pallas,
     if use_pallas:
         from cmcd_tpu.ops.fused_train import var_bound_pallas
 
-        loss_builder = lambda p, k: var_bound_pallas(p, k, n, ctx, setup, target)
+        loss_builder = lambda p, k: var_bound_pallas(
+            p, k, n, ctx, setup, target, bf16_net=bf16_net
+        )
     else:
         loss_builder = lambda p, k: cmcd_tpu.var_bound(p, k, n, ctx, setup)
 
@@ -301,6 +307,10 @@ def main():
     # 100 matches the trainer's automatic steps_per_call (largest divisor of
     # iters <= 100; measured ~15% faster than chunk 20 at the flagship size).
     chunk = int(os.environ.get("BENCH_STEPS_PER_CALL", 100))
+    # BENCH_BF16=1 runs the fused side's score-net math in bf16 (measured
+    # 1.10x on v5e; grad within 3e-2 relative). Off by default: the
+    # headline A/B keeps the f32 gradient-exactness contract.
+    bf16 = bool(int(os.environ.get("BENCH_BF16", "0")))
 
     def r(ms_list):
         return [round(t * 1e3, 3) for t in ms_list]
@@ -308,10 +318,13 @@ def main():
     try:
         t_native, native_groups = bench_train(
             n, nbridges, emb_dim, max(iters // chunk, 3), repeats, True,
-            steps_per_call=chunk,
+            steps_per_call=chunk, bf16_net=bf16,
         )
-        native_path = f"pallas_fused_train[steps_per_call={chunk}]"
-        t_unchunked, _ = bench_train(n, nbridges, emb_dim, iters, repeats, True)
+        native_path = f"pallas_fused_train[steps_per_call={chunk}]" + (
+            "[bf16_net]" if bf16 else ""
+        )
+        t_unchunked, _ = bench_train(n, nbridges, emb_dim, iters, repeats, True,
+                                     bf16_net=bf16)
     except Exception:
         t_native, native_groups = bench_train(
             n, nbridges, emb_dim, iters, repeats, False

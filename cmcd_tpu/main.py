@@ -126,10 +126,14 @@ def run_experiment(config, logger: MetricLogger | None = None):
     # ops/fused_train.py); with a mesh, each device runs the kernels on its
     # chain shard (parallel.sharded_var_bound_pallas).
     if config.use_pallas_train and jax.default_backend() == "tpu":
-        from cmcd_tpu.ops import supports_fused_train
+        from cmcd_tpu.ops.fused import fused_train_recommended
 
         bf16_net = bool(config.bf16_fused_net)
-        if supports_fused_train(setup, target, bf16_net=bf16_net):
+        # Recommended = supported at this batch size AND measured faster
+        # than the XLA scan (large-net split-sweep targets fall back to the
+        # scan below its N~100 crossover; see fused_train_recommended).
+        if fused_train_recommended(setup, target, int(config.N),
+                                   bf16_net=bf16_net):
             if mode == "MCD_CAIS_var_sn":
                 if mesh is not None:
                     from cmcd_tpu import parallel

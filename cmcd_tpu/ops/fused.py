@@ -214,13 +214,16 @@ def choose_block(dim: int, n_chains: int, *, traj_arrays: int = 0,
 
 
 def supports_fused_train(setup: bounds.CMCDSetup, target,
-                         bf16_net: bool = False) -> bool:
+                         bf16_net: bool = False,
+                         n_chains: int | None = None) -> bool:
     """True if a fully-fused Pallas training loss can run: the VarGrad mode
     (ops/fused_train.var_bound_pallas, batched-replay backward) or a KL mode
     (ops/fused_train.kl_bound_pallas, reverse-sweep BPTT backward), with a
     kernelized net where the mode uses one (geffner everywhere; PIS
     "dds"/"dds_grad" for the overdamped modes), a registered transposed
-    target score, and VMEM headroom."""
+    target score, and VMEM headroom. n_chains (when known) additionally
+    gates the large-net split sweep, whose inter-kernel trajectory stacks
+    scale with the batch."""
     from cmcd_tpu.ops.fused_train import KL_FUSED_MODES
 
     if setup.mode != "MCD_CAIS_var_sn" and setup.mode not in KL_FUSED_MODES:
@@ -271,9 +274,39 @@ def supports_fused_train(setup: bounds.CMCDSetup, target,
             + traj_windows
             + 16 * 1024 * 1024
         )
-        return need < 120 * 1024 * 1024
+        if need >= 120 * 1024 * 1024:
+            return False
+        # The split sweep's trajectory/noise stacks live on-chip BETWEEN
+        # the forward and sweep kernels, so they scale with the full batch,
+        # not the block. Measured on v5e (1600-D LGCP K=8): N=128 compiles
+        # and runs; N=256 trips the scoped-VMEM ceiling. Without n_chains
+        # the gate stays optimistic (callers that size their own batches,
+        # e.g. tests, pass small N).
+        if n_chains is not None and n_chains > 128:
+            return False
+        return True
     # Other modes keep weight grads in-kernel; at this size they spill.
     return False
+
+
+def fused_train_recommended(setup: bounds.CMCDSetup, target, n_chains: int,
+                            bf16_net: bool = False) -> bool:
+    """supports_fused_train AND the fused path is expected to WIN at this
+    batch size. One measured exception (v5e, 1600-D LGCP K=8): large-net
+    split-sweep targets are matmul-dominated, so the XLA scan beats the
+    fused kernel's flat ~2 ms per-step floor at small batches — scan
+    1.31 ms vs fused 2.05 ms at N=20, crossover N~100, fused 1.15x at
+    N=128. Small-dim targets (in-kernel weight grads) win at every
+    measured batch size and are always recommended when supported."""
+    if not supports_fused_train(setup, target, bf16_net=bf16_net,
+                                n_chains=n_chains):
+        return False
+    from cmcd_tpu.ops.fused_train import _NET_GRADS_OUTSIDE_BYTES
+
+    if (_packed_sn_bytes(setup) > _NET_GRADS_OUTSIDE_BYTES
+            and n_chains < 96):
+        return False
+    return True
 
 
 def compute_elbos_fused(

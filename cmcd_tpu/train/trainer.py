@@ -24,6 +24,15 @@ import optax
 from cmcd_tpu import bounds
 
 
+@jax.jit
+def _finite_check(losses, tree):
+    """One fused device reduction: every loss AND every param leaf finite."""
+    ok = jnp.isfinite(losses).all()
+    for x in jax.tree_util.tree_leaves(tree):
+        ok &= jnp.isfinite(x).all()
+    return ok
+
+
 def project(train_params: dict, trainable) -> dict:
     """Constraint projection after each update (reference src/opt.py:14-24):
     eps in [1e-7, 0.5], eta in [0, 0.99], gamma >= 1e-3, mgridref_y >= 1e-3."""
@@ -278,7 +287,12 @@ def train(
             i % nan_check_every == 0 for i in range(i0, i0 + c)
         ) or steps_done == iters
         if check_nan:
-            if not bool(jnp.isfinite(c_losses).all()):
+            # Check the params too, not just the chunk's losses: losses are
+            # evaluated BEFORE each update, so a gradient blow-up at the
+            # chunk's final step leaves every loss finite while the params
+            # it produced are NaN — storing those as last_finite would make
+            # the rollback itself return NaN params one chunk later.
+            if not bool(_finite_check(c_losses, train_p)):
                 diverged = True
                 train_p = last_finite
                 steps_done = i0

@@ -22,8 +22,8 @@ import jax
 import jax.numpy as jnp
 
 
-def train_sampler(target, *, nbridges, iters, mfvi_iters, lr, emb_dim=20,
-                  batch_size=300, seed=0):
+def train_sampler(target, *, nbridges, iters, mfvi_iters, lr, eps=1e-5,
+                  emb_dim=20, batch_size=300, seed=0):
     import cmcd_tpu
     from cmcd_tpu.train import mfvi_pretrain, train
 
@@ -41,13 +41,16 @@ def train_sampler(target, *, nbridges, iters, mfvi_iters, lr, emb_dim=20,
     )
     trainable = cmcd_tpu.default_trainable(setup.mode)
     params, ctx = cmcd_tpu.initialize(
-        setup, target.log_prob, eps=0.01, trainable=trainable,
+        setup, target.log_prob, eps=eps, trainable=trainable,
         vdparams=vdparams,
     )
     res = train(
         setup, params, ctx, lr=lr, iters=iters, batch_size=batch_size,
         key=jax.random.fold_in(key, 1), trainable=trainable,
     )
+    if res.diverged:
+        print("WARNING: training diverged (NaN guard) — params from the "
+              "last finite step")
     return res.params, ctx, setup
 
 
@@ -58,6 +61,10 @@ def weighted_moments(params, ctx, setup, target, *, n_chains, key):
 
     neg_elbos, z = bounds.compute_elbos(params, key, n_chains, ctx, setup)
     logw = -neg_elbos
+    # Drop non-finite chains (a diverged chain must not poison softmax).
+    finite = jnp.isfinite(logw)
+    logw = jnp.where(finite, logw, -jnp.inf)
+    z = jnp.where(finite[:, None], z, 0.0)
     p = jax.nn.softmax(logw)
     ess = 1.0 / jnp.sum(p * p)
     mean = jnp.sum(p[:, None] * z, axis=0)
@@ -73,16 +80,26 @@ def main():
     ap.add_argument("--iters", type=int, default=20000)
     ap.add_argument("--mfvi", type=int, default=30000)
     ap.add_argument("--nbridges", type=int, default=8)
-    ap.add_argument("--lr", type=float, default=1e-3)
+    # lr defaults from the reference's LR_DICT for the target (the round-2
+    # lorenz divergence came from eps=0.01 where the framework/CLI default
+    # is 1e-5 — both now match what `cmcd_tpu.main` would apply).
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--eps", type=float, default=1e-5)
     ap.add_argument("--n", type=int, default=8000)
     args = ap.parse_args()
 
     import cmcd_tpu
+    from cmcd_tpu.config import LR_DICT
+
+    lr = args.lr
+    if lr is None:
+        lr = LR_DICT.get(args.target, {}).get("MCD_CAIS_sn", 1e-4)
+        print(f"lr from LR_DICT: {lr}")
 
     target = cmcd_tpu.load_target(args.target)
     params, ctx, setup = train_sampler(
         target, nbridges=args.nbridges, iters=args.iters,
-        mfvi_iters=args.mfvi, lr=args.lr,
+        mfvi_iters=args.mfvi, lr=lr, eps=args.eps,
     )
     mean, std, ess = weighted_moments(
         params, ctx, setup, target, n_chains=args.n,

@@ -75,6 +75,10 @@ RECIPES = {
             "n_samples": 500,
             # 1600-D net: fused KL training needs the bf16 split backward
             # (ops/pallas_kl.py net_grads_outside + net_compute_dtype).
+            # At this recipe's N=20 the driver now picks the XLA scan
+            # anyway — measured faster below the fused path's N~100
+            # crossover (fused_train_recommended) — but the flag keeps the
+            # fused path selected if N is raised.
             "bf16_fused_net": True,
         },
         ln_z_true=None,

@@ -357,3 +357,37 @@ def test_pallas_kl_dds_net_grad_matches_scan(nn_arch):
         float(jnp.linalg.norm(f1 - f2)),
         scale,
     )
+
+
+def test_fused_train_gate_batch_size():
+    """The large-net split sweep is gated on the actual batch size: its
+    inter-kernel trajectory stacks scale with N (measured on v5e, 1600-D
+    LGCP K=8: N=128 runs, N=256 trips the scoped-VMEM ceiling), and below
+    the measured N~100 crossover the recommendation is the faster XLA
+    scan. Small-dim in-kernel-weight-grad configs win at every measured
+    batch and stay recommended."""
+    from cmcd_tpu.ops.fused import (
+        fused_train_recommended,
+        supports_fused_train,
+    )
+
+    target = cmcd_tpu.load_target("lgcp")
+    setup = bounds.CMCDSetup(
+        mode="MCD_CAIS_sn", dim=target.dim, nbridges=8, emb_dim=20,
+        grad_clipping=True,
+    )
+    assert supports_fused_train(setup, target, bf16_net=True)
+    assert supports_fused_train(setup, target, bf16_net=True, n_chains=128)
+    assert not supports_fused_train(
+        setup, target, bf16_net=True, n_chains=256
+    )
+    assert fused_train_recommended(setup, target, 128, bf16_net=True)
+    assert not fused_train_recommended(setup, target, 20, bf16_net=True)
+
+    small = cmcd_tpu.load_target("funnel")
+    s2 = bounds.CMCDSetup(
+        mode="MCD_CAIS_sn", dim=small.dim, nbridges=8, emb_dim=16,
+        grad_clipping=True,
+    )
+    assert fused_train_recommended(s2, small, 20)
+    assert fused_train_recommended(s2, small, 2000)
