@@ -528,6 +528,124 @@ def make_lgcp_grad_t(dim_pad: int, use_whitened: bool = False):
     return grad_whitened if use_whitened else grad_unwhitened
 
 
+def make_nice_grad_t(dim_pad: int, flow_params):
+    """NICE normalizing-flow target (targets/nice.py, reference src/nice.py):
+    z = f(x) through 4 additive-coupling steps (full-reversal permutation,
+    5-layer ReLU MLP shift), latent N(0, e^{-2s}); so
+
+        grad log p(x) = J_f(x)^T (-z * e^{2*logscale}).
+
+    Hand-written forward + transpose in kernel layout: the reversal is a
+    (symmetric) one-hot permutation matmul (Mosaic has no flip/gather on
+    values), split/inject use static slices and `concatenate` (whose VJP is
+    a slice — safe under the KL backward's HVP), and every MLP weight is a
+    padded host constant in BOTH orientations (an in-kernel transpose of a
+    constant trips XLA:TPU's MXU transform pass — see make_logreg_grad_t).
+    Because the flow is piecewise affine (ReLU MLPs + additive couplings),
+    autodiff of this function gives the exact a.e. HVP J^T diag(-e^{2s}) J.
+    """
+    import numpy as onp
+
+    logscale = onp.asarray(flow_params["logscale"], onp.float64)
+    dim = int(logscale.shape[0])
+    split = dim // 2 + dim % 2
+    sb = dim - split
+
+    def pad8(n):
+        return ((n + 7) // 8) * 8
+
+    nets = flow_params["nets"]
+    n_steps = len(nets)
+    depth = len(nets[0])
+    # Per-layer padded widths: [split, hidden, ..., hidden, sb] -> mult of 8.
+    raw_dims = [split] + [int(onp.asarray(l["w"]).shape[1]) for l in nets[0]]
+    pdims = [pad8(d) for d in raw_dims]
+    S = pdims[0]
+
+    def pad_mat(w, rows, cols):
+        out = onp.zeros((rows, cols), onp.float64)
+        out[: w.shape[0], : w.shape[1]] = w
+        return jnp.asarray(out, jnp.float32)
+
+    couplings = []
+    for net in nets:
+        wt, wf, bs = [], [], []
+        for i, layer in enumerate(net):
+            w = onp.asarray(layer["w"], onp.float64)  # (in, out)
+            b = onp.asarray(layer["b"], onp.float64)
+            wt.append(pad_mat(w.T, pdims[i + 1], pdims[i]))
+            wf.append(pad_mat(w, pdims[i], pdims[i + 1]))
+            bs.append(pad_mat(b[:, None], pdims[i + 1], 1))
+        couplings.append((wt, wf, bs))
+
+    rev_np = onp.zeros((dim_pad, dim_pad), onp.float64)
+    for i in range(dim):
+        rev_np[i, dim - 1 - i] = 1.0
+    rev = jnp.asarray(rev_np, jnp.float32)  # symmetric: R^T == R
+
+    neg_e2s = jnp.asarray(
+        onp.concatenate(
+            [-onp.exp(2.0 * logscale), onp.zeros(dim_pad - dim)]
+        )[:, None],
+        jnp.float32,
+    )
+    mask = _row_mask(dim_pad, dim)
+
+    def mlp_fwd(c, a0):
+        wt, _, bs = couplings[c]
+        h, hs = a0, []
+        for i in range(depth):
+            pre = jnp.dot(wt[i], h, preferred_element_type=jnp.float32) + bs[i]
+            if i < depth - 1:
+                h = jnp.maximum(pre, 0.0)
+                hs.append(h)
+            else:
+                h = pre
+        return h, hs
+
+    def mlp_bwd(c, hs, dm):
+        _, wf, _ = couplings[c]
+        d = dm
+        for i in range(depth - 1, 0, -1):
+            d = jnp.dot(wf[i], d, preferred_element_type=jnp.float32)
+            d = jnp.where(hs[i - 1] > 0.0, d, 0.0)
+        return jnp.dot(wf[0], d, preferred_element_type=jnp.float32)
+
+    def grad_t(x_t):
+        n_cols = x_t.shape[1]
+        pad_tail = x_t.shape[0] - dim
+        x = x_t * mask
+        acts = []
+        for c in range(n_steps):
+            y = jnp.dot(rev, x, preferred_element_type=jnp.float32)
+            # Rows [split, S) of a0 hold real x_b values but meet zero
+            # weight columns (wt[0] is padded), contributing exact 0.
+            m, hs = mlp_fwd(c, y[:S])
+            x = y + jnp.concatenate(
+                [
+                    jnp.zeros((split, n_cols), x_t.dtype),
+                    m[:sb],
+                    jnp.zeros((pad_tail, n_cols), x_t.dtype),
+                ],
+                axis=0,
+            )
+            acts.append(hs)
+        g = x * neg_e2s
+        for c in range(n_steps - 1, -1, -1):
+            dm = jnp.concatenate(
+                [g[split:dim], jnp.zeros((S - sb, n_cols), x_t.dtype)], axis=0
+            )
+            da0 = mlp_bwd(c, acts[c], dm)  # rows >= split are exactly 0
+            dy = g + jnp.concatenate(
+                [da0, jnp.zeros((x_t.shape[0] - S, n_cols), x_t.dtype)],
+                axis=0,
+            )
+            g = jnp.dot(rev, dy, preferred_element_type=jnp.float32)
+        return g * mask
+
+    return grad_t
+
+
 def _build_funnel(target, dim_pad):
     return make_funnel_grad_t(target.dim, dim_pad, sig=target.params.get("sig", 3.0))
 
@@ -554,6 +672,15 @@ def _build_lgcp(target, dim_pad):
 
 def _build_logreg(target, dim_pad):
     return make_logreg_grad_t(target.params.get("dset"), target.dim, dim_pad)
+
+
+def _build_nice(target, dim_pad):
+    # A nice Target built without its recorded flow parameters (pre-round-3
+    # construction) cannot be differentiated exactly -> scan fallback.
+    fp = target.params.get("flow_params")
+    if fp is None:
+        return None
+    return make_nice_grad_t(dim_pad, fp)
 
 
 def _build_lorenz(target, dim_pad):
@@ -592,6 +719,7 @@ TARGET_GRAD_T_BUILDERS = {
     "log_madelon": _build_logreg,
     "lgcp": _build_lgcp,
     "lorenz": _build_lorenz,
+    "nice": _build_nice,
 }
 
 

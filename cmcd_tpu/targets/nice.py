@@ -124,4 +124,15 @@ def make_nice(
     def sample(key, n):
         return nice_sample(params, key, n)
 
-    return Target(name="nice", dim=dim, log_prob=log_prob, sample=sample)
+    return Target(
+        name="nice",
+        dim=dim,
+        log_prob=log_prob,
+        sample=sample,
+        # The concrete flow parameters are recorded so the transposed-score
+        # builder (ops/target_grads.make_nice_grad_t) differentiates exactly
+        # this density — the registry's "never a silently wrong density"
+        # contract (a nice target with different params and no flow_params
+        # entry falls back to the XLA scan path).
+        params={"flow_params": params, "im_size": im_size},
+    )

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 
 def train_sampler(target, *, nbridges, iters, mfvi_iters, lr, eps=1e-5,
-                  emb_dim=20, batch_size=300, seed=0):
+                  emb_dim=20, batch_size=300, seed=0, mode="MCD_CAIS_sn"):
     import cmcd_tpu
     from cmcd_tpu.train import mfvi_pretrain, train
 
@@ -36,7 +36,7 @@ def train_sampler(target, *, nbridges, iters, mfvi_iters, lr, eps=1e-5,
         )
         print(f"MFVI ELBO {elbo0:.2f}")
     setup = cmcd_tpu.CMCDSetup(
-        mode="MCD_CAIS_sn", dim=target.dim, nbridges=nbridges,
+        mode=mode, dim=target.dim, nbridges=nbridges,
         emb_dim=emb_dim, grad_clipping=True,
     )
     trainable = cmcd_tpu.default_trainable(setup.mode)
@@ -86,6 +86,7 @@ def main():
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--eps", type=float, default=1e-5)
     ap.add_argument("--n", type=int, default=8000)
+    ap.add_argument("--boundmode", type=str, default="MCD_CAIS_sn")
     args = ap.parse_args()
 
     import cmcd_tpu
@@ -93,13 +94,13 @@ def main():
 
     lr = args.lr
     if lr is None:
-        lr = LR_DICT.get(args.target, {}).get("MCD_CAIS_sn", 1e-4)
+        lr = LR_DICT.get(args.target, {}).get(args.boundmode, 1e-4)
         print(f"lr from LR_DICT: {lr}")
 
     target = cmcd_tpu.load_target(args.target)
     params, ctx, setup = train_sampler(
         target, nbridges=args.nbridges, iters=args.iters,
-        mfvi_iters=args.mfvi, lr=lr, eps=args.eps,
+        mfvi_iters=args.mfvi, lr=lr, eps=args.eps, mode=args.boundmode,
     )
     mean, std, ess = weighted_moments(
         params, ctx, setup, target, n_chains=args.n,

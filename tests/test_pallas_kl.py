@@ -75,12 +75,18 @@ def scan_kl_loss_fn(params, ctx, key, n, noise, spec):
         ("many_gmm", "MCD_ULA_sn", ""),
         ("gmm", "MCD_ULA", ""),
         ("gmm", "MCD_DNF", ""),
+        # 196-D NICE flow (round-3 transposed score): exercises the target
+        # HVP through the piecewise-affine coupling stack.
+        ("nice", "MCD_CAIS_sn", ""),
     ],
 )
 def test_pallas_kl_grad_matches_scan(target_name, mode, eps_schedule):
     n, nb = 96, 5
+    # The trained 196-D flow needs realistic scales (|log p| ~ 5e6 at
+    # init_sigma 8 makes f32 layout-order rounding dominate).
+    kw = {"eps": 1e-3, "init_sigma": 1.0} if target_name == "nice" else {}
     target, setup, params, ctx, key, noise = make_case(
-        target_name, mode, nb, n, eps_schedule=eps_schedule
+        target_name, mode, nb, n, eps_schedule=eps_schedule, **kw
     )
     spec = _SPECS[mode]
 

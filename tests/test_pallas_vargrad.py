@@ -63,6 +63,8 @@ def scan_loss_fn(params, ctx, key, n, noise):
         ("many_gmm", "", "reroll"),
         ("funnel", "cos_sq", "replay"),
         ("funnel", "cos_sq", "reroll"),
+        # 196-D NICE flow target (round-3 transposed score).
+        ("nice", "", "replay"),
     ],
 )
 def test_pallas_train_grad_matches_scan(target_name, eps_schedule, backward):

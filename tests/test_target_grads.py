@@ -180,3 +180,35 @@ def test_seeds_grad_t():
     t = load_target("seeds")
     check(t, tg.make_seeds_grad_t(32), 32, scale=0.5, atol=3e-4)
     assert tg.grad_t_for_target(t, 32) is not None
+
+
+def test_nice_grad_t():
+    t = load_target("nice")
+    dim_pad = ((t.dim + 7) // 8) * 8
+    check(t, tg.make_nice_grad_t(dim_pad, t.params["flow_params"]), dim_pad,
+          scale=1.0, atol=3e-4)
+    assert tg.grad_t_for_target(t, dim_pad) is not None
+
+
+def test_nice_grad_t_hvp_matches_autodiff():
+    """The KL backward differentiates grad_t at trace time; the flow is
+    piecewise affine so the a.e. HVP must equal autodiff of the batched
+    log_prob's gradient."""
+    t = load_target("nice")
+    dim_pad = ((t.dim + 7) // 8) * 8
+    grad_t = tg.make_nice_grad_t(dim_pad, t.params["flow_params"])
+    key = jax.random.PRNGKey(3)
+    z = jax.random.normal(key, (8, t.dim))
+    ct = jax.random.normal(jax.random.fold_in(key, 1), (8, t.dim))
+
+    def batched_grad(zz):
+        return jax.grad(lambda a: jnp.sum(t.log_prob(a)))(zz)
+
+    _, want_vjp = jax.vjp(batched_grad, z)
+    want = onp.asarray(want_vjp(ct)[0])
+
+    z_t = jnp.zeros((dim_pad, 8)).at[: t.dim].set(z.T)
+    ct_t = jnp.zeros((dim_pad, 8)).at[: t.dim].set(ct.T)
+    _, got_vjp = jax.vjp(grad_t, z_t)
+    got = onp.asarray(got_vjp(ct_t)[0])
+    onp.testing.assert_allclose(got[: t.dim].T, want, atol=3e-4, rtol=1e-3)
