@@ -199,16 +199,18 @@ def choose_block(dim: int, n_chains: int, *, traj_arrays: int = 0,
     wastes 3.4x the columns) and, for training paths that store
     per-step residuals (traj_arrays = stored (K+1, dim_pad, n_pad) arrays:
     1 for the VarGrad replay, 2 for overdamped KL, 3 for underdamped/UHA),
-    shrinks the block until one block's residual slice fits a ~64 MB VMEM
-    share — past that XLA stack-allocates the residuals on-chip and blows
-    the 128 MB physical budget (seen: sonar K=256 dim_pad 64 at block
-    1024: 2 x 67 MB residuals -> 131.6 MB > 128 MB)."""
+    shrinks the block until one block's residual slice fits a ~48 MB VMEM
+    share. The KL reverse sweep reads whole (K+1)-step windows per program
+    and the Mosaic pipeline DOUBLE-BUFFERS them, so the physical cost is
+    2x the slice (measured on v5e: sonar K=256 dim_pad 64 at block 1024:
+    2 x 67 MB residuals -> 131.6 MB > 128 MB; nice K=256 dim_pad 200 at
+    block 128: 2 x 50.2 MB windows + 17.2 MB spills -> over by 1.75 MB)."""
     lane = 128
     block = default_block(dim)
     block = min(block, -(-n_chains // lane) * lane)
     if traj_arrays:
         per_col = traj_arrays * (nbridges + 1) * _dim_pad(dim) * 4
-        while block > lane and per_col * block > 64 * 1024 * 1024:
+        while block > lane and per_col * block > 48 * 1024 * 1024:
             block -= lane
     return block
 
@@ -245,10 +247,32 @@ def supports_fused_train(setup: bounds.CMCDSetup, target,
         return False
     est = _vmem_estimate(setup, target, default_block(setup.dim))
     sn_b = _packed_sn_bytes(setup)
-    from cmcd_tpu.ops.fused_train import _NET_GRADS_OUTSIDE_BYTES
+    from cmcd_tpu.ops.fused_train import _NET_GRADS_OUTSIDE_BYTES, KL_FUSED_MODES
 
     if sn_b <= _NET_GRADS_OUTSIDE_BYTES:
-        # Ordinary in-kernel weight-grad backward.
+        # Ordinary in-kernel weight-grad backward. For the KL reverse sweep
+        # each program reads whole (K+1)-step trajectory windows, and the
+        # Mosaic pipeline DOUBLE-BUFFERS them — so the physical-VMEM cost is
+        # 2 x traj_arrays x window, on top of consts/state (est) and ~18 MB
+        # of measured margin (17.2 MB register spills + ~7 MB of outputs
+        # and state beyond the operand estimate). Hardware calibration
+        # (v5e): nice K=256 (dim_pad 200, block 128: 100.4 MiB windows +
+        # 17.2 MiB spills + misc) exceeds 128 MiB physical by 1.75 MiB ->
+        # reject to the scan path; sonar K=256 (dim_pad 64) fits.
+        if setup.mode in KL_FUSED_MODES:
+            n_arrays = 2 if setup.mode in _PALLAS_SPECS else 3
+            blk = choose_block(
+                setup.dim,
+                n_chains if n_chains is not None else 1 << 30,
+                traj_arrays=n_arrays,
+                nbridges=setup.nbridges,
+            )
+            win = (
+                2 * n_arrays * (setup.nbridges + 1)
+                * _dim_pad(setup.dim) * blk * 4
+            )
+            if win + est + 24 * 1024 * 1024 >= 128 * 1024 * 1024:
+                return False
         return est < _VMEM_TRAIN_BUDGET
     if setup.mode == "MCD_CAIS_sn":
         # Large net -> split sweep (pallas_kl net_grads_outside). Hardware-

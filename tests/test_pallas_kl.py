@@ -397,3 +397,22 @@ def test_fused_train_gate_batch_size():
     )
     assert fused_train_recommended(s2, small, 20)
     assert fused_train_recommended(s2, small, 2000)
+
+
+def test_fused_train_gate_trajectory_windows():
+    """The in-kernel KL backward's whole-(K+1) trajectory windows are
+    double-buffered by the Mosaic pipeline; configs whose windows + margin
+    exceed physical VMEM must fall back to scan (measured on v5e: nice
+    K=256 OOMs by 1.75 MiB; sonar K=256 fits)."""
+    from cmcd_tpu.ops.fused import supports_fused_train
+
+    nice = cmcd_tpu.load_target("nice")
+    mk = lambda nb, dim: bounds.CMCDSetup(
+        mode="MCD_CAIS_sn", dim=dim, nbridges=nb, emb_dim=20,
+        grad_clipping=True,
+    )
+    assert not supports_fused_train(mk(256, nice.dim), nice, n_chains=300)
+    assert supports_fused_train(mk(128, nice.dim), nice, n_chains=300)
+
+    sonar = cmcd_tpu.load_target("log_sonar")
+    assert supports_fused_train(mk(256, sonar.dim), sonar, n_chains=2000)
