@@ -215,6 +215,26 @@ def choose_block(dim: int, n_chains: int, *, traj_arrays: int = 0,
     return block
 
 
+def choose_time_block(nbridges: int, dim: int, block: int,
+                      n_arrays: int = 2) -> int | None:
+    """Reverse-sweep time-chunk length (pallas_kl time_block).
+
+    Largest divisor of nbridges whose per-program trajectory-window
+    footprint — n_arrays stored (t_block, dim_pad, block) stacks (traj +
+    noise, or traj + the split gsn output), each DOUBLE-BUFFERED by the
+    Mosaic pipeline — fits a ~40 MB VMEM share, leaving ~88 MB for weights,
+    consts, spills and state. None = the whole-trajectory window already
+    fits (single-window sweep, the measured-fastest configuration)."""
+    per_step = 2 * n_arrays * _dim_pad(dim) * block * 4
+    if per_step * (nbridges + 1) <= 40 * 1024 * 1024:
+        return None
+    best = 1
+    for d in range(2, nbridges):
+        if nbridges % d == 0 and per_step * d <= 40 * 1024 * 1024:
+            best = d
+    return best
+
+
 def supports_fused_train(setup: bounds.CMCDSetup, target,
                          bf16_net: bool = False,
                          n_chains: int | None = None) -> bool:
@@ -250,17 +270,17 @@ def supports_fused_train(setup: bounds.CMCDSetup, target,
     from cmcd_tpu.ops.fused_train import _NET_GRADS_OUTSIDE_BYTES, KL_FUSED_MODES
 
     if sn_b <= _NET_GRADS_OUTSIDE_BYTES:
-        # Ordinary in-kernel weight-grad backward. For the KL reverse sweep
-        # each program reads whole (K+1)-step trajectory windows, and the
-        # Mosaic pipeline DOUBLE-BUFFERS them — so the physical-VMEM cost is
-        # 2 x traj_arrays x window, on top of consts/state (est) and ~18 MB
-        # of measured margin (17.2 MB register spills + ~7 MB of outputs
-        # and state beyond the operand estimate). Hardware calibration
-        # (v5e): nice K=256 (dim_pad 200, block 128: 100.4 MiB windows +
-        # 17.2 MiB spills + misc) exceeds 128 MiB physical by 1.75 MiB ->
-        # reject to the scan path; sonar K=256 (dim_pad 64) fits.
-        if setup.mode in KL_FUSED_MODES:
-            n_arrays = 2 if setup.mode in _PALLAS_SPECS else 3
+        # Ordinary in-kernel weight-grad backward. The OVERDAMPED KL
+        # reverse sweep time-chunks its trajectory windows (pallas_kl
+        # time_block via choose_time_block), so its VMEM window footprint
+        # is bounded for any nbridges. The underdamped/UHA sweeps still
+        # read whole (K+1)-step windows per program, DOUBLE-BUFFERED by
+        # the Mosaic pipeline — gate those on the physical ceiling
+        # (hardware calibration, v5e: nice K=256 dim_pad 200, block 128:
+        # 100.4 MiB windows + 17.2 MiB spills + misc exceeded 128 MiB
+        # by 1.75 MiB before the overdamped sweep was chunked).
+        if setup.mode in KL_FUSED_MODES and setup.mode not in _PALLAS_SPECS:
+            n_arrays = 3
             blk = choose_block(
                 setup.dim,
                 n_chains if n_chains is not None else 1 << 30,
@@ -272,6 +292,24 @@ def supports_fused_train(setup: bounds.CMCDSetup, target,
                 * _dim_pad(setup.dim) * blk * 4
             )
             if win + est + 24 * 1024 * 1024 >= 128 * 1024 * 1024:
+                return False
+        elif setup.mode in KL_FUSED_MODES:
+            # Overdamped: the backward is time-chunked, but the FORWARD
+            # still writes whole (K+1)-step trajectory + noise output
+            # windows, double-buffered (nice K=256 block 128: 105 MB of
+            # forward windows measured to fit; the un-chunked backward's
+            # extra 17 MB of spills was what overflowed).
+            blk = choose_block(
+                setup.dim,
+                n_chains if n_chains is not None else 1 << 30,
+                traj_arrays=2,
+                nbridges=setup.nbridges,
+            )
+            fwd_win = (
+                2 * 2 * (setup.nbridges + 1)
+                * _dim_pad(setup.dim) * blk * 4
+            )
+            if fwd_win + est + 8 * 1024 * 1024 >= 128 * 1024 * 1024:
                 return False
         return est < _VMEM_TRAIN_BUDGET
     if setup.mode == "MCD_CAIS_sn":

@@ -249,7 +249,7 @@ def neg_elbos_pallas(
 
 
 def _make_evolve_kl(setup, target, n_chains, block, interpret, spec,
-                    bf16_net=False):
+                    bf16_net=False, time_block=None):
     """custom_vjp'd (theta, z0, seed, noise) -> (deltas, z_final) for the
     KL-trained overdamped modes (full BPTT — no stop-gradients).
 
@@ -279,6 +279,13 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec,
         and _packed_sn_bytes(setup) > _NET_GRADS_OUTSIDE_BYTES
     )
     bf16_net = bf16_net and split
+    if time_block is None:
+        # Auto time-chunk the reverse sweep when its whole-trajectory
+        # windows (traj + noise, or traj + the split gsn output — 2 stacks
+        # either way) would blow the VMEM share (ops/fused.choose_time_block).
+        from cmcd_tpu.ops.fused import choose_time_block
+
+        time_block = choose_time_block(setup.nbridges, dim, block, 2)
 
     def _pack(theta):
         from cmcd_tpu.ops.fused import _pack_net
@@ -368,6 +375,7 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec,
             block=block,
             net_grads_outside=split,
             net_compute_dtype=(jnp.bfloat16 if bf16_net else jnp.float32),
+            time_block=time_block,
             interpret=interpret,
         )
         g_theta = {
@@ -659,6 +667,7 @@ def neg_elbos_pallas_kl(
     noise=None,
     interpret: bool = False,
     bf16_net: bool = False,
+    time_block: int | None = None,
 ):
     """Per-chain negative ELBOs via the fused forward kernel, differentiable
     in params through the reverse-sweep BPTT backward kernels (full
@@ -717,7 +726,8 @@ def neg_elbos_pallas_kl(
     if spec.use_sn2_bwd:
         theta["sn2"] = p["sn2"]
     evolve = _make_evolve_kl(
-        setup, target, n_chains, block, interpret, spec, bf16_net
+        setup, target, n_chains, block, interpret, spec, bf16_net,
+        time_block,
     )
     # z0 is DIFFERENTIABLE through evolve here (BPTT), unlike VarGrad.
     deltas, z_final = evolve(theta, z0, seed, noise)
@@ -738,6 +748,7 @@ def kl_bound_pallas(
     noise=None,
     interpret: bool = False,
     bf16_net: bool = False,
+    time_block: int | None = None,
 ):
     """KL training loss (mean negative ELBO) with fused Pallas forward AND
     reverse-sweep BPTT backward. Same contract as bounds.kl_bound
@@ -748,6 +759,7 @@ def kl_bound_pallas(
     neg_elbos, z_final = neg_elbos_pallas_kl(
         params, key, n_chains, ctx, setup, target,
         block=block, noise=noise, interpret=interpret, bf16_net=bf16_net,
+        time_block=time_block,
     )
     return jnp.mean(neg_elbos), (neg_elbos, z_final)
 

@@ -68,6 +68,7 @@ def evolve_kl_bwd_pallas(
     block: int = 1024,
     net_grads_outside: bool = False,
     net_compute_dtype=jnp.float32,
+    time_block: int | None = None,
     interpret: bool = False,
 ):
     """Reverse-sweep BPTT gradients from stored (trajectory, noise).
@@ -106,6 +107,20 @@ def evolve_kl_bwd_pallas(
             b for b in range(min(block, n_pad), 0, -LANE) if n_pad % b == 0
         )
     nchunks = n_pad // block
+    # Time-chunked sweep: the grid gains a second (reverse-time) dimension;
+    # each program loads only a t_block-step trajectory window, and the
+    # state/application cotangents carry between chunks in VMEM scratch.
+    # t_block = nbridges (the default) is the single-window sweep; smaller
+    # blocks bound the double-buffered window footprint for large
+    # (nbridges + 1) x dim_pad stacks (nice K=256: 2 x 50 MB windows blew
+    # the 128 MB physical VMEM before chunking).
+    if time_block is None or time_block >= nbridges:
+        t_block = nbridges
+    else:
+        t_block = max(1, time_block)
+        while nbridges % t_block != 0:
+            t_block -= 1
+    nt = nbridges // t_block
 
     use_sn = spec.fwd_sn or spec.bwd_sn
     arch = "geffner"
@@ -562,16 +577,34 @@ def evolve_kl_bwd_pallas(
             noise_ref = refs[idx]; idx += 1
         c_ref = refs[idx]; idx += 1
         gzf_ref = refs[idx]; idx += 1
+        zK_ref = None
+        if split:  # boundary state z_K for the first (topmost) time chunk
+            zK_ref = refs[idx]; idx += 1
         theta_refs = refs[idx : idx + n_theta]; idx += n_theta
         const_refs = refs[idx : idx + len(const_inputs)]
         idx += len(const_inputs)
         out_theta_refs = refs[idx : idx + n_theta_out]; idx += n_theta_out
         gz0_ref = refs[idx]; idx += 1
-        gsn_ref = None
+        gsn_ref = gsn0_ref = None
         if split:
             gsn_ref = refs[idx]; idx += 1
+            gsn0_ref = refs[idx]; idx += 1
+        # Persistent VMEM scratch: the reverse-sweep carries, living across
+        # the sequential time-chunk grid steps of one chain block.
+        s_gz = refs[idx]; idx += 1
+        s_ggt = s_gsn = s_zb = None
+        if carry_sn:
+            s_ggt = refs[idx]; idx += 1
+            s_gsn = refs[idx]; idx += 1
+        if split:
+            s_zb = refs[idx]; idx += 1
 
         pid = pl.program_id(0)
+        pid_t = pl.program_id(1)
+        # Chunk t sweeps global steps j in [lo, lo + t_block), descending;
+        # the grid walks chunks from the trajectory's top (t=0 <-> highest
+        # j) downward.
+        lo = (nt - 1 - pid_t) * t_block
 
         all_consts = unpack_consts(const_shapes, const_refs)
         # Upcast bf16-stored weights ONCE; the f32 values are loop-invariant.
@@ -583,10 +616,23 @@ def evolve_kl_bwd_pallas(
         # sequential TPU grid). Carrying the accumulator tuple as fori_loop
         # state instead multi-buffers it and blows scoped VMEM on large-dim
         # nets (LGCP: 143 MB of spill slots for ~32 MB of weight grads).
-        @pl.when(pid == 0)
+        @pl.when((pid == 0) & (pid_t == 0))
         def _zero_outputs():
             for o_ref in out_theta_refs:
                 o_ref[:] = jnp.zeros(o_ref.shape, jnp.float32)
+
+        # First chunk of each chain block: seed the carries — the state
+        # cotangent from the final-state seed, application cotangents zero,
+        # and (split) the boundary state z_K.
+        @pl.when(pid_t == 0)
+        def _init_carries():
+            s_gz[:] = gzf_ref[:]
+            if carry_sn:
+                zero_b = jnp.zeros((dim_pad, block), jnp.float32)
+                s_ggt[:] = zero_b
+                s_gsn[:] = zero_b
+            if split:
+                s_zb[:] = zK_ref[:]
 
         def _accumulate(g_theta):
             for o_ref, g in zip(out_theta_refs, g_theta):
@@ -598,15 +644,25 @@ def evolve_kl_bwd_pallas(
             final_consts = [all_consts[i] for i in final_const_map]
             apps_args = theta_vals[4:] if split else theta_vals
             final_args = theta_vals[4:] if split else theta_vals
+            if split:
+                # This chunk's upper-boundary state z_{lo + t_block} —
+                # constant for the whole chunk (the previous chunk's lowest
+                # trajectory row, or z_K for the first chunk).
+                z_hi = s_zb[:]
 
             def body(t, carry):
                 g_z, g_gt, g_sn = carry
-                j = nbridges - 1 - t
-                z_j = traj_ref[j]
+                jl = t_block - 1 - t  # local trajectory-window row
+                j = lo + jl  # global step index
+                z_j = traj_ref[jl]
                 gt_j, sn_j = jax.core.eval_jaxpr(
                     apps_jaxpr.jaxpr, apps_consts, *apps_args, z_j, j
                 )
-                stoch = traj_ref[j + 1] if split else noise_ref[j]
+                if split:
+                    z_up = traj_ref[jnp.minimum(jl + 1, t_block - 1)]
+                    stoch = jnp.where(jl == t_block - 1, z_hi, z_up)
+                else:
+                    stoch = noise_ref[jl]
                 flat_in = list(theta_vals) + [
                     z_j, gt_j, sn_j, stoch, j,
                     g_z, g_gt, g_sn, c_row,
@@ -617,51 +673,69 @@ def evolve_kl_bwd_pallas(
                 _accumulate(out[:n_theta_out])
                 if split:
                     # Total cotangent of the point-(j+1) net OUTPUT — the
-                    # out-of-kernel weight-grad pass consumes the stack.
-                    gsn_ref[j + 1] = out[n_theta_out + 3]
+                    # out-of-kernel weight-grad pass consumes the stack
+                    # (shifted layout: point j+1's cotangent at row j, so
+                    # every write stays inside this chunk's window).
+                    gsn_ref[jl] = out[n_theta_out + 3]
                 return (
                     out[n_theta_out],
                     out[n_theta_out + 1],
                     out[n_theta_out + 2],
                 )
 
-            zero_b = jnp.zeros((dim_pad, block), jnp.float32)
             g_z0, g_gt, g_sn = jax.lax.fori_loop(
-                0, nbridges, body, (gzf_ref[:], zero_b, zero_b)
+                0, t_block, body, (s_gz[:], s_ggt[:], s_gsn[:])
             )
+            s_gz[:] = g_z0
+            s_ggt[:] = g_gt
+            s_gsn[:] = g_sn
             if split:
-                gsn_ref[0] = g_sn
-                g_z0_apps = jax.core.eval_jaxpr(
-                    final_jaxpr.jaxpr, final_consts,
-                    *final_args, traj_ref[0], g_gt, g_sn,
-                )[0]
-                gz0_ref[:] = g_z0 + g_z0_apps
-            else:
-                fin = jax.core.eval_jaxpr(
-                    final_jaxpr.jaxpr, final_consts,
-                    *final_args, traj_ref[0], g_gt, g_sn,
-                )
-                _accumulate(fin[:n_theta])
-                gz0_ref[:] = g_z0 + fin[n_theta]
+                s_zb[:] = traj_ref[0]  # next chunk's upper boundary
+
+            @pl.when(pid_t == nt - 1)
+            def _final_carry():
+                # Last chunk covers j in [0, t_block): window row 0 is z_0.
+                if split:
+                    gsn0_ref[:] = g_sn
+                    g_z0_apps = jax.core.eval_jaxpr(
+                        final_jaxpr.jaxpr, final_consts,
+                        *final_args, traj_ref[0], g_gt, g_sn,
+                    )[0]
+                    gz0_ref[:] = g_z0 + g_z0_apps
+                else:
+                    fin = jax.core.eval_jaxpr(
+                        final_jaxpr.jaxpr, final_consts,
+                        *final_args, traj_ref[0], g_gt, g_sn,
+                    )
+                    _accumulate(fin[:n_theta])
+                    gz0_ref[:] = g_z0 + fin[n_theta]
         else:
             consts = all_consts
 
             def body(t, g_z):
-                j = nbridges - 1 - t
-                z = traj_ref[j]
-                xi = noise_ref[j]
+                jl = t_block - 1 - t
+                j = lo + jl
+                z = traj_ref[jl]
+                xi = noise_ref[jl]
                 flat_in = list(theta_vals) + [z, xi, j, g_z, c_row]
                 out = jax.core.eval_jaxpr(point_jaxpr.jaxpr, consts, *flat_in)
                 _accumulate(out[:n_theta])
                 return out[n_theta]
 
-            g_z0 = jax.lax.fori_loop(0, nbridges, body, gzf_ref[:])
-            gz0_ref[:] = g_z0
+            g_z0 = jax.lax.fori_loop(0, t_block, body, s_gz[:])
+            s_gz[:] = g_z0
 
+            @pl.when(pid_t == nt - 1)
+            def _final_point():
+                gz0_ref[:] = g_z0
+
+    # Time-windowed trajectory: chunk t covers global rows
+    # [(nt-1-t)*t_block, ...+t_block) of the first nbridges rows; the final
+    # row (z_K) never enters a window (split receives it separately).
     in_specs = [
         pl.BlockSpec(
-            (nbridges + 1, dim_pad, block),
-            lambda i: (0, 0, i),
+            (t_block, dim_pad, block),
+            lambda i, t: (nt - 1 - t, 0, i),
             memory_space=pltpu.VMEM,
         ),
     ]
@@ -670,23 +744,31 @@ def evolve_kl_bwd_pallas(
         assert noise_t is not None
         in_specs.append(
             pl.BlockSpec(
-                (nbridges, dim_pad, block),
-                lambda i: (0, 0, i),
+                (t_block, dim_pad, block),
+                lambda i, t: (nt - 1 - t, 0, i),
                 memory_space=pltpu.VMEM,
             )
         )
         inputs.append(noise_t)
     in_specs += [
-        pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, block), lambda i, t: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec(
-            (dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM
+            (dim_pad, block), lambda i, t: (0, i), memory_space=pltpu.VMEM
         ),
     ]
     inputs += [cot_rows, gzf_t]
+    if split:
+        in_specs.append(
+            pl.BlockSpec(
+                (dim_pad, block), lambda i, t: (0, i),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(traj_t[nbridges])
     for t in theta:
         in_specs.append(
             pl.BlockSpec(
-                t.shape, lambda i, nd=t.ndim: (0,) * nd,
+                t.shape, lambda i, tt, nd=t.ndim: (0,) * nd,
                 memory_space=pltpu.VMEM,
             )
         )
@@ -694,7 +776,7 @@ def evolve_kl_bwd_pallas(
     for c in const_inputs:
         in_specs.append(
             pl.BlockSpec(
-                c.shape, lambda i, nd=c.ndim: (0,) * nd,
+                c.shape, lambda i, tt, nd=c.ndim: (0,) * nd,
                 memory_space=pltpu.VMEM,
             )
         )
@@ -702,7 +784,8 @@ def evolve_kl_bwd_pallas(
 
     out_specs = [
         pl.BlockSpec(
-            t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM
+            t.shape, lambda i, tt, nd=t.ndim: (0,) * nd,
+            memory_space=pltpu.VMEM,
         )
         for t in theta[:n_theta_out]
     ]
@@ -712,21 +795,39 @@ def evolve_kl_bwd_pallas(
     ]
     out_specs.append(
         pl.BlockSpec(
-            (dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM
+            (dim_pad, block), lambda i, t: (0, i), memory_space=pltpu.VMEM
         )
     )
     out_shape.append(jax.ShapeDtypeStruct((dim_pad, n_pad), jnp.float32))
     if split:
+        # Shifted net-output cotangent stack (row j <-> point j+1) + the
+        # point-0 cotangent as its own small output.
         out_specs.append(
             pl.BlockSpec(
-                (nbridges + 1, dim_pad, block),
-                lambda i: (0, 0, i),
+                (t_block, dim_pad, block),
+                lambda i, t: (nt - 1 - t, 0, i),
                 memory_space=pltpu.VMEM,
             )
         )
         out_shape.append(
-            jax.ShapeDtypeStruct((nbridges + 1, dim_pad, n_pad), jnp.float32)
+            jax.ShapeDtypeStruct((nbridges, dim_pad, n_pad), jnp.float32)
         )
+        out_specs.append(
+            pl.BlockSpec(
+                (dim_pad, block), lambda i, t: (0, i),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shape.append(jax.ShapeDtypeStruct((dim_pad, n_pad), jnp.float32))
+
+    scratch_shapes = [pltpu.VMEM((dim_pad, block), jnp.float32)]
+    if carry_sn:
+        scratch_shapes += [
+            pltpu.VMEM((dim_pad, block), jnp.float32),
+            pltpu.VMEM((dim_pad, block), jnp.float32),
+        ]
+    if split:
+        scratch_shapes.append(pltpu.VMEM((dim_pad, block), jnp.float32))
 
     # Split mode: the in-kernel f32 upcasts of the bf16-stored weights and
     # the z-path VJP temporaries live OUTSIDE the operand estimate — give
@@ -741,10 +842,11 @@ def evolve_kl_bwd_pallas(
 
     outs = pl.pallas_call(
         kernel,
-        grid=(nchunks,),
+        grid=(nchunks, nt),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
         **kwargs,
     )(*inputs)
@@ -762,7 +864,11 @@ def evolve_kl_bwd_pallas(
         # applied to every stored trajectory point, seeded with the
         # in-kernel per-point net-output cotangent stack. Exact f32; XLA
         # schedules the big weight-grad einsums through HBM freely.
-        gsn_stack = outs[n_theta_out + 1]
+        # (Reassemble the (nbridges+1)-point stack from the kernel's
+        # shifted layout: row j of the shifted output is point j+1.)
+        gsn_stack = jnp.concatenate(
+            [outs[n_theta_out + 2][None], outs[n_theta_out + 1]], axis=0
+        )
 
         def net_all(th_sn):
             def per_j(carry, inp):

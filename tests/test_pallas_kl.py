@@ -400,19 +400,108 @@ def test_fused_train_gate_batch_size():
 
 
 def test_fused_train_gate_trajectory_windows():
-    """The in-kernel KL backward's whole-(K+1) trajectory windows are
-    double-buffered by the Mosaic pipeline; configs whose windows + margin
-    exceed physical VMEM must fall back to scan (measured on v5e: nice
-    K=256 OOMs by 1.75 MiB; sonar K=256 fits)."""
-    from cmcd_tpu.ops.fused import supports_fused_train
+    """The OVERDAMPED KL backward time-chunks its trajectory windows
+    (choose_time_block), so large (K+1) x dim_pad stacks no longer reject
+    to scan — nice K=256 (the config that OOM'd the un-chunked sweep by
+    1.75 MiB on v5e) is admitted. The underdamped sweeps are still
+    single-window and stay gated."""
+    from cmcd_tpu.ops.fused import choose_time_block, supports_fused_train
 
     nice = cmcd_tpu.load_target("nice")
-    mk = lambda nb, dim: bounds.CMCDSetup(
-        mode="MCD_CAIS_sn", dim=dim, nbridges=nb, emb_dim=20,
+    mk = lambda nb, dim, mode="MCD_CAIS_sn": bounds.CMCDSetup(
+        mode=mode, dim=dim, nbridges=nb, emb_dim=20,
         grad_clipping=True,
     )
-    assert not supports_fused_train(mk(256, nice.dim), nice, n_chains=300)
+    assert supports_fused_train(mk(256, nice.dim), nice, n_chains=300)
     assert supports_fused_train(mk(128, nice.dim), nice, n_chains=300)
+    # The auto chunk for that config bounds the windows: divisor of K,
+    # fits the 40 MB share at the chosen block.
+    tb = choose_time_block(256, nice.dim, 128, 2)
+    assert tb is not None and 256 % tb == 0
+    assert 2 * 2 * 200 * 128 * 4 * tb <= 40 * 1024 * 1024
 
     sonar = cmcd_tpu.load_target("log_sonar")
     assert supports_fused_train(mk(256, sonar.dim), sonar, n_chains=2000)
+    # Small configs stay on the single-window sweep (measured fastest).
+    assert choose_time_block(8, sonar.dim, 1024, 2) is None
+
+    # Underdamped: whole-(K+1) windows, 3 stored stacks — a 196-D K=256
+    # config still exceeds physical VMEM and must reject to scan.
+    assert not supports_fused_train(
+        mk(256, nice.dim, mode="MCD_U_a-lp-sn"), nice, n_chains=300
+    )
+
+
+@pytest.mark.parametrize(
+    "target_name,mode,time_block",
+    [
+        ("many_gmm", "MCD_CAIS_sn", 2),  # carry sweep, nt=3
+        ("many_gmm", "MCD_ULA_sn", 2),  # point sweep (bwd net at i)
+        ("gmm", "MCD_DNF", 3),  # two-net point sweep, nt=2
+        ("many_gmm", "MCD_CAIS_sn", 4),  # 6 % 4 != 0 -> normalizes to 3
+    ],
+)
+def test_pallas_kl_time_chunked_grad_matches_scan(target_name, mode,
+                                                  time_block):
+    """The time-chunked reverse sweep (2-D grid, scratch-carried
+    cotangents) must stay loss- AND gradient-exact vs jax.grad of the scan
+    — including across chunk boundaries (the carried g_gt/g_sn application
+    cotangents and the split boundary state)."""
+    n, nb = 96, 6
+    target, setup, params, ctx, key, noise = make_case(
+        target_name, mode, nb, n
+    )
+    spec = _SPECS[mode]
+
+    def pallas_loss(train):
+        return kl_bound_pallas(
+            {"train": train, "notrain": params["notrain"]}, key, n, ctx,
+            setup, target, block=128, noise=noise, interpret=True,
+            time_block=time_block,
+        )[0]
+
+    l1, g1 = jax.value_and_grad(
+        scan_kl_loss_fn(params, ctx, key, n, noise, spec)
+    )(params["train"])
+    l2, g2 = jax.value_and_grad(pallas_loss)(params["train"])
+    onp.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+    f1, _ = jax.flatten_util.ravel_pytree(g1)
+    f2, _ = jax.flatten_util.ravel_pytree(g2)
+    scale = float(jnp.linalg.norm(f1))
+    assert float(jnp.linalg.norm(f1 - f2)) < 2e-4 * scale + 1e-4, (
+        float(jnp.linalg.norm(f1 - f2)),
+        scale,
+    )
+
+
+def test_pallas_kl_time_chunked_split_matches_scan(monkeypatch):
+    """Chunked SPLIT sweep: the boundary state z_hi carried in scratch
+    seeds the noise reconstruction at each chunk's topmost step, and the
+    shifted gsn stack reassembles to the exact per-point cotangents."""
+    from cmcd_tpu.ops import fused_train
+
+    monkeypatch.setattr(fused_train, "_NET_GRADS_OUTSIDE_BYTES", 0)
+    n, nb = 96, 6
+    target, setup, params, ctx, key, noise = make_case(
+        "many_gmm", "MCD_CAIS_sn", nb, n
+    )
+
+    def pallas_loss(train):
+        return kl_bound_pallas(
+            {"train": train, "notrain": params["notrain"]}, key, n, ctx,
+            setup, target, block=128, noise=noise, interpret=True,
+            time_block=2,
+        )[0]
+
+    l1, g1 = jax.value_and_grad(
+        scan_kl_loss_fn(params, ctx, key, n, noise, od.CAIS)
+    )(params["train"])
+    l2, g2 = jax.value_and_grad(pallas_loss)(params["train"])
+    onp.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+    f1, _ = jax.flatten_util.ravel_pytree(g1)
+    f2, _ = jax.flatten_util.ravel_pytree(g2)
+    scale = float(jnp.linalg.norm(f1))
+    assert float(jnp.linalg.norm(f1 - f2)) < 2e-4 * scale + 1e-4, (
+        float(jnp.linalg.norm(f1 - f2)),
+        scale,
+    )
