@@ -321,6 +321,7 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec,
             noise=noise,
             return_trajectory_t=True,
             return_noise_t=not inject and not split,
+            time_block=time_block,
             interpret=interpret,
         )
         if split:
@@ -347,12 +348,19 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec,
 
     def evolve_fwd(theta, z0, seed, noise):
         deltas, z_final, traj_t, noise_t = _run_forward(theta, z0, seed, noise)
-        return (deltas, z_final), (theta, traj_t, noise_t, noise)
+        return (deltas, z_final), (theta, traj_t, noise_t, noise, z_final)
 
     def evolve_bwd(res, cots):
-        theta, traj_t, noise_t, noise = res
+        theta, traj_t, noise_t, noise, z_final = res
         g_deltas, g_zfinal = cots  # BOTH live for KL
         sn_weights, sn_meta, sn2_weights = _pack(theta)
+        # The time-chunked forward's trajectory has nbridges rows; hand the
+        # final state to the sweep in the raw transposed layout.
+        n_pad = traj_t.shape[2]
+        zf_t = (
+            jnp.zeros((dim_pad, n_pad), jnp.float32)
+            .at[:dim, :n_chains].set(z_final.T)
+        )
         grads, g_z0 = evolve_kl_bwd_pallas(
             traj_t,
             noise_t,
@@ -376,6 +384,7 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec,
             net_grads_outside=split,
             net_compute_dtype=(jnp.bfloat16 if bf16_net else jnp.float32),
             time_block=time_block,
+            z_final_t=zf_t,
             interpret=interpret,
         )
         g_theta = {

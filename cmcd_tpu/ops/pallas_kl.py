@@ -69,6 +69,7 @@ def evolve_kl_bwd_pallas(
     net_grads_outside: bool = False,
     net_compute_dtype=jnp.float32,
     time_block: int | None = None,
+    z_final_t=None,
     interpret: bool = False,
 ):
     """Reverse-sweep BPTT gradients from stored (trajectory, noise).
@@ -99,7 +100,14 @@ def evolve_kl_bwd_pallas(
     dim) — the initial-state cotangent for the reparameterized draw).
     """
     n_traj, dim_pad, n_pad = traj_t.shape
-    assert n_traj == nbridges + 1
+    # The time-chunked forward stores z_0..z_{K-1} (nbridges rows) and
+    # hands the final state separately (z_final_t); the single-window
+    # forward stores the full (K+1)-row stack.
+    if n_traj == nbridges + 1:
+        zK_t = traj_t[nbridges]
+    else:
+        assert n_traj == nbridges and z_final_t is not None
+        zK_t = z_final_t
     assert noise_t is None or noise_t.shape == (nbridges, dim_pad, n_pad)
     block = _round_up(block, LANE)
     if n_pad % block != 0:
@@ -764,7 +772,7 @@ def evolve_kl_bwd_pallas(
                 memory_space=pltpu.VMEM,
             )
         )
-        inputs.append(traj_t[nbridges])
+        inputs.append(zK_t)
     for t in theta:
         in_specs.append(
             pl.BlockSpec(
@@ -870,6 +878,11 @@ def evolve_kl_bwd_pallas(
             [outs[n_theta_out + 2][None], outs[n_theta_out + 1]], axis=0
         )
 
+        traj_full = (
+            traj_t if n_traj == nbridges + 1
+            else jnp.concatenate([traj_t, zK_t[None]], axis=0)
+        )
+
         def net_all(th_sn):
             def per_j(carry, inp):
                 j, z_j = inp
@@ -877,7 +890,7 @@ def evolve_kl_bwd_pallas(
 
             _, outs_ = jax.lax.scan(
                 per_j, 0,
-                (jnp.arange(nbridges + 1), traj_t),
+                (jnp.arange(nbridges + 1), traj_full),
             )
             return outs_
 

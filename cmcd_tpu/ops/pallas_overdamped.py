@@ -118,6 +118,7 @@ def evolve_overdamped_pallas(
     noise: Optional[jnp.ndarray] = None,
     return_trajectory_t: bool = False,
     return_noise_t: bool = False,
+    time_block: int | None = None,
     interpret: bool = False,
 ):
     """Run nbridges overdamped steps fused on-core.
@@ -138,6 +139,13 @@ def evolve_overdamped_pallas(
     of the BPTT reverse-sweep backward kernel (ops/pallas_kl.py). Only
     meaningful with the in-kernel PRNG (when `noise` is injected the caller
     already holds it).
+    time_block: when set (and storing residuals), run a TIME-CHUNKED
+    rollout — a second grid dimension over t_block-step windows with the
+    chain state carried in VMEM scratch — so the stored trajectory/noise
+    output windows (double-buffered by the Mosaic pipeline) stay bounded
+    for large (K+1) x dim_pad stacks. In this mode the trajectory output
+    has nbridges rows (z_0..z_{K-1}); the final state exits via the plain
+    z_final output (the reverse sweep takes it as its z_final_t input).
     Returns (z_final (N, dim), w (N,)[, traj_t][, noise_t]).
     """
     n, d = z0.shape
@@ -146,6 +154,18 @@ def evolve_overdamped_pallas(
     block = _round_up(block, LANE)
     n_pad = _round_up(n, block)
     nblocks = n_pad // block
+    if (
+        time_block is None
+        or time_block >= nbridges
+        or not (return_trajectory_t or return_noise_t)
+    ):
+        t_block = nbridges
+    else:
+        t_block = max(1, time_block)
+        while nbridges % t_block != 0:
+            t_block -= 1
+    nt = nbridges // t_block
+    chunked = nt > 1
 
     use_sn = spec.fwd_sn or spec.bwd_sn
     arch = "geffner"
@@ -491,13 +511,23 @@ def evolve_overdamped_pallas(
         noise_out_ref = None
         if return_noise_t:
             noise_out_ref = refs[idx]; idx += 1
+        if chunked:
+            # Persistent chain-state carries across the time-chunk grid.
+            s_z = refs[idx]; idx += 1
+            s_gt = refs[idx]; idx += 1
+            s_sn = refs[idx]; idx += 1
+            s_w = refs[idx]; idx += 1
 
         eps0 = scal_ref[0, 0]
         factor = scal_ref[0, 1]
 
         pid = pl.program_id(0)
+        pid_t = pl.program_id(1)
+        lo = pid_t * t_block
         if not inject_noise:
-            pltpu.prng_seed(seed_ref[0, 0] + pid)
+            # Distinct stream per (chain-block, time-chunk) program (with
+            # nt=1 this is the original seed + pid stream assignment).
+            pltpu.prng_seed(seed_ref[0, 0] + pid * nt + pid_t)
 
         def unpack(shapes, refs_):
             vals = []
@@ -514,41 +544,70 @@ def evolve_overdamped_pallas(
         consts = [all_consts[i] for i in step_const_map]
         init_consts = [all_consts[i] for i in init_const_map]
 
-        def body(i, carry):
+        def body(il, carry):
             z, gt, sn_cur, w = carry
+            i = lo + il if chunked else il
             if return_trajectory_t:
-                traj_ref[i] = z
+                traj_ref[il] = z
             beta = betas_ref[0, i]
             if inject_noise:
-                xi = noise_ref[i]
+                xi = noise_ref[il]
             else:
                 xi = _box_muller((dim_pad, block))
             if return_noise_t:
-                noise_out_ref[i] = xi
+                noise_out_ref[il] = xi
             return step_conv(z, gt, sn_cur, w, xi, i, beta, eps0, factor, *consts)
 
-        z = z_ref[:]
-        w = w_ref[0:1, :]
-        gt0, sn0 = jax.core.eval_jaxpr(init_jaxpr.jaxpr, init_consts, z, factor)
-        z, gt, _, w = jax.lax.fori_loop(0, nbridges, body, (z, gt0, sn0, w))
-        if return_trajectory_t:
-            traj_ref[nbridges] = z
-        out_z_ref[:] = z
-        out_w_ref[:] = jnp.broadcast_to(w, (8, block))
+        if chunked:
+            @pl.when(pid_t == 0)
+            def _init_state():
+                s_z[:] = z_ref[:]
+                s_w[:] = w_ref[:]
+                gt0_, sn0_ = jax.core.eval_jaxpr(
+                    init_jaxpr.jaxpr, init_consts, z_ref[:], factor
+                )
+                s_gt[:] = gt0_
+                s_sn[:] = sn0_
+
+            z, gt0, sn0, w = s_z[:], s_gt[:], s_sn[:], s_w[0:1, :]
+        else:
+            z = z_ref[:]
+            w = w_ref[0:1, :]
+            gt0, sn0 = jax.core.eval_jaxpr(
+                init_jaxpr.jaxpr, init_consts, z, factor
+            )
+        z, gt, sn_c, w = jax.lax.fori_loop(
+            0, t_block, body, (z, gt0, sn0, w)
+        )
+        if chunked:
+            s_z[:] = z
+            s_gt[:] = gt
+            s_sn[:] = sn_c
+            s_w[:] = jnp.broadcast_to(w, (8, block))
+
+            @pl.when(pid_t == nt - 1)
+            def _emit_final():
+                out_z_ref[:] = z
+                out_w_ref[:] = jnp.broadcast_to(w, (8, block))
+        else:
+            if return_trajectory_t:
+                traj_ref[nbridges] = z
+            out_z_ref[:] = z
+            out_w_ref[:] = jnp.broadcast_to(w, (8, block))
 
     in_specs = [
-        pl.BlockSpec((1, nbridges), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nbridges), lambda i, t: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 2), lambda i, t: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda i, t: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((dim_pad, block), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, block), lambda i, t: (0, i), memory_space=pltpu.VMEM),
     ]
     inputs = [betas_smem, scalars, seed_arr, z0_t, w0_rows]
     if inject_noise:
         in_specs.append(
             pl.BlockSpec(
-                (nbridges, dim_pad, block),
-                lambda i: (0, 0, i),
+                (t_block, dim_pad, block),
+                lambda i, t: (t, 0, i),
                 memory_space=pltpu.VMEM,
             )
         )
@@ -556,41 +615,54 @@ def evolve_overdamped_pallas(
     for c in const_inputs:
         in_specs.append(
             pl.BlockSpec(
-                c.shape, lambda i, nd=c.ndim: (0,) * nd, memory_space=pltpu.VMEM
+                c.shape, lambda i, t, nd=c.ndim: (0,) * nd,
+                memory_space=pltpu.VMEM,
             )
         )
         inputs.append(c)
 
     out_specs = [
-        pl.BlockSpec((dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((dim_pad, block), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, block), lambda i, t: (0, i), memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((dim_pad, n_pad), jnp.float32),
         jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
     ]
+    # Chunked: the trajectory output holds z_0..z_{K-1} (nbridges rows; the
+    # final state exits via out_z). Single-window keeps the (K+1)-row stack.
+    traj_rows = nbridges if chunked else nbridges + 1
     if return_trajectory_t:
         out_specs.append(
             pl.BlockSpec(
-                (nbridges + 1, dim_pad, block),
-                lambda i: (0, 0, i),
+                (t_block if chunked else traj_rows, dim_pad, block),
+                lambda i, t: (t, 0, i),
                 memory_space=pltpu.VMEM,
             )
         )
         out_shape.append(
-            jax.ShapeDtypeStruct((nbridges + 1, dim_pad, n_pad), jnp.float32)
+            jax.ShapeDtypeStruct((traj_rows, dim_pad, n_pad), jnp.float32)
         )
     if return_noise_t:
         out_specs.append(
             pl.BlockSpec(
-                (nbridges, dim_pad, block),
-                lambda i: (0, 0, i),
+                (t_block, dim_pad, block),
+                lambda i, t: (t, 0, i),
                 memory_space=pltpu.VMEM,
             )
         )
         out_shape.append(
             jax.ShapeDtypeStruct((nbridges, dim_pad, n_pad), jnp.float32)
         )
+
+    scratch_shapes = []
+    if chunked:
+        scratch_shapes = [
+            pltpu.VMEM((dim_pad, block), jnp.float32),  # z
+            pltpu.VMEM((dim_pad, block), jnp.float32),  # gt
+            pltpu.VMEM((dim_pad, block), jnp.float32),  # sn carry
+            pltpu.VMEM((8, block), jnp.float32),        # w
+        ]
 
     # Sized scoped-VMEM (kernel_common): lets the raw trajectory output stay
     # ON-CHIP between this kernel and the backward kernels, and lets
@@ -606,10 +678,11 @@ def evolve_overdamped_pallas(
     )
     outs = pl.pallas_call(
         kernel,
-        grid=(nblocks,),
+        grid=(nblocks, nt),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         # Generic interpret mode has no TPU PRNG; use the TPU interpreter
         # when the kernel generates its own noise.
         interpret=(pltpu.InterpretParams() if (interpret and not inject_noise) else interpret),
