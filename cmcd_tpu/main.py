@@ -195,7 +195,12 @@ def run_experiment(config, logger: MetricLogger | None = None):
         plot_w2_ref = target.sample(jax.random.PRNGKey(3), n_w2)
 
     def callback(step, info, z):
-        info["chain_steps_per_sec"] = meter.rate(step)
+        # The trainer supplies a per-chunk optimizer-steps/sec measured
+        # between host materializations (honest under chunked dispatch);
+        # convert to the chain-steps/s north-star unit here.
+        info["chain_steps_per_sec"] = meter.chain_rate(
+            info.pop("steps_per_sec", 0.0)
+        )
         if config.plot_dir:
             from cmcd_tpu.utils import plotting
 

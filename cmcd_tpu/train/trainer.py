@@ -14,6 +14,7 @@ Reference: src/opt.py. Differences by design:
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Any, Callable, Optional
 
 import jax
@@ -187,27 +188,35 @@ def train(
 
     def chunk_fn(train_p, notrain, opt_state, ema, ring, i0, key):
         """`chunk` sequential optimizer steps in one call. The per-step key
-        split matches the single-step host loop exactly."""
+        split matches the single-step host loop exactly.
+
+        Only the last step's (neg_elbos, z) are wanted, so they ride the
+        CARRY rather than the scan's stacked ys: stacking z builds a
+        (chunk, N, dim) buffer (82 MB at chunk=100 on the 1600-D LGCP)
+        whose in-body dynamic-update-slice XLA fuses into the Pallas
+        custom fusion, blowing the scoped-VMEM check."""
 
         def body(carry, t):
-            train_p, opt_state, ema, ring, key = carry
+            train_p, opt_state, ema, ring, key, _, _ = carry
             key, step_key = jax.random.split(key)
             slot = (i0 + t) % ring_size
             train_p, opt_state, ema, ring, loss, grad_mean, neg_elbos, z = (
                 update_fn(train_p, notrain, opt_state, ema, ring, slot, step_key)
             )
-            return (train_p, opt_state, ema, ring, key), (
-                loss, grad_mean, neg_elbos, z
+            return (train_p, opt_state, ema, ring, key, neg_elbos, z), (
+                loss, grad_mean
             )
 
-        (train_p, opt_state, ema, ring, key), (losses, gms, nes, zs) = (
+        ne0 = jnp.zeros((batch_size,), jnp.float32)
+        z0 = jnp.zeros((batch_size, setup.dim), jnp.float32)
+        (train_p, opt_state, ema, ring, key, nes, zs), (losses, gms) = (
             jax.lax.scan(
                 body,
-                (train_p, opt_state, ema, ring, key),
+                (train_p, opt_state, ema, ring, key, ne0, z0),
                 jnp.arange(chunk),
             )
         )
-        return train_p, opt_state, ema, ring, key, losses, gms, nes[-1], zs[-1]
+        return train_p, opt_state, ema, ring, key, losses, gms, nes, zs
 
     train_p = params["train"]
 
@@ -250,6 +259,14 @@ def train(
     diverged = False
     last_finite = train_p
     steps_done = start_step
+    # Per-chunk throughput, anchored on host materializations of the chunk
+    # losses (device_get awaits the remote device; block_until_ready does
+    # NOT on this stack — CLAUDE.md rule 2). Intra-chunk callback firings
+    # all see the same chunk-level rate; computing a rate per firing would
+    # divide callback_every steps by a near-zero host delta.
+    rate_t = time.time()
+    rate_iter = start_step
+    chunk_rate = 0.0
 
     def save_state(steps_done):
         extra = {"ema": ema} if use_ema else None
@@ -299,22 +316,31 @@ def train(
                 break
             last_finite = train_p
 
+        need_host = any(
+            i % log_every == 0 for i in range(i0, i0 + c)
+        ) or (
+            callback is not None
+            and any(i % callback_every == 0 for i in range(i0, i0 + c))
+        )
         c_losses_host = None
+        if need_host:
+            c_losses_host = jax.device_get(c_losses)
+            now = time.time()
+            if steps_done > rate_iter and now > rate_t:
+                chunk_rate = (steps_done - rate_iter) / (now - rate_t)
+            rate_t, rate_iter = now, steps_done
         for i in range(i0, i0 + c):
             if i % log_every == 0:
-                if c_losses_host is None:
-                    c_losses_host = jax.device_get(c_losses)
                 losses.append(float(c_losses_host[i - i0]))
         if callback is not None:
             for i in range(i0, i0 + c):
                 if i % callback_every == 0:
-                    if c_losses_host is None:
-                        c_losses_host = jax.device_get(c_losses)
                     info = {
                         "step": i,
                         "loss": float(c_losses_host[i - i0]),
                         "grad_mean": float(jax.device_get(c_gms)[i - i0]),
                         "var_loss": float(jnp.var(neg_elbos, ddof=1)),
+                        "steps_per_sec": chunk_rate,
                     }
                     merged = {**train_p, **notrain}
                     info["eps"] = float(merged["eps"])

@@ -48,19 +48,16 @@ class MetricLogger:
 
 
 class ThroughputMeter:
-    """Chain-steps/sec counter (the north-star perf metric, SURVEY.md §5)."""
+    """Chain-steps/sec unit conversion (the north-star metric, SURVEY.md §5).
+
+    The measurement itself lives in the trainer, which times whole fused
+    chunks between host materializations — a wall-clock delta taken per
+    callback firing is meaningless when several firings land inside one
+    jitted chunk (near-zero host delta between them).
+    """
 
     def __init__(self, chains_per_step: int, bridges_per_step: int):
         self.chain_steps_per_iter = chains_per_step * bridges_per_step
-        self._last_t = time.time()
-        self._last_iter = 0
 
-    def rate(self, iteration: int) -> float:
-        now = time.time()
-        di = iteration - self._last_iter
-        dt = now - self._last_t
-        self._last_t = now
-        self._last_iter = iteration
-        if dt <= 0 or di <= 0:
-            return 0.0
-        return di * self.chain_steps_per_iter / dt
+    def chain_rate(self, steps_per_sec: float) -> float:
+        return steps_per_sec * self.chain_steps_per_iter
