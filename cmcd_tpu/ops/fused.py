@@ -216,21 +216,40 @@ def choose_block(dim: int, n_chains: int, *, traj_arrays: int = 0,
 
 
 def choose_time_block(nbridges: int, dim: int, block: int,
-                      n_arrays: int = 2) -> int | None:
+                      n_arrays: int = 2, est_bytes: int = 0) -> int | None:
     """Reverse-sweep time-chunk length (pallas_kl time_block).
 
     Largest divisor of nbridges whose per-program trajectory-window
     footprint — n_arrays stored (t_block, dim_pad, block) stacks (traj +
     noise, or traj + the split gsn output), each DOUBLE-BUFFERED by the
-    Mosaic pipeline — fits a ~40 MB VMEM share, leaving ~88 MB for weights,
-    consts, spills and state. None = the whole-trajectory window already
-    fits (single-window sweep, the measured-fastest configuration)."""
+    Mosaic pipeline — fits the windows' VMEM share. None = the whole-
+    trajectory window already fits (single-window sweep, the
+    measured-fastest configuration).
+
+    est_bytes: the kernel's resident set (weights + target consts + state,
+    ops/fused._vmem_estimate, with bf16 storage already discounted). It
+    shrinks the CHUNKED share only — the chunked sweep carries extra
+    cross-chunk cotangent scratch whose spill slots scale with the
+    resident set AND with the whole-trajectory stacks the chunked kernels
+    stream (the //16 calibration below). Hardware points (v5e, 1600-D
+    LGCP split sweep, resident ~31 MB, block 128): the SINGLE-window K=8
+    sweep (28 MB of windows) fits and is the fastest configuration;
+    chunked K=64 t_block=8 (26 MB of windows) hit 132 MB of the 128 MB
+    physical VMEM while t_block=4 fits and runs; K=256 t_block=4 was
+    2.2 MB over the 120 MB scoped cap while t_block=2 fits and runs. The
+    196-D nice K=256 in-kernel sweep keeps its validated t_block=64."""
     per_step = 2 * n_arrays * _dim_pad(dim) * block * 4
     if per_step * (nbridges + 1) <= 40 * 1024 * 1024:
         return None
+    stacks = n_arrays * nbridges * _dim_pad(dim) * block * 4
+    est_eff = est_bytes + stacks // 16
+    share = max(
+        8 * 1024 * 1024,
+        40 * 1024 * 1024 - max(0, est_eff - 12 * 1024 * 1024),
+    )
     best = 1
     for d in range(2, nbridges):
-        if nbridges % d == 0 and per_step * d <= 40 * 1024 * 1024:
+        if nbridges % d == 0 and per_step * d <= share:
             best = d
     return best
 
@@ -294,22 +313,24 @@ def supports_fused_train(setup: bounds.CMCDSetup, target,
             if win + est + 24 * 1024 * 1024 >= 128 * 1024 * 1024:
                 return False
         elif setup.mode in KL_FUSED_MODES:
-            # Overdamped: the backward is time-chunked, but the FORWARD
-            # still writes whole (K+1)-step trajectory + noise output
-            # windows, double-buffered (nice K=256 block 128: 105 MB of
-            # forward windows measured to fit; the un-chunked backward's
-            # extra 17 MB of spills was what overflowed).
+            # Overdamped: BOTH the rollout and the reverse sweep time-chunk
+            # their trajectory windows (choose_time_block), so the windowed
+            # footprint is bounded; gate on the effective chunked window.
+            # Hardware check (nice K=256, t_block=64, 26 MB of windows):
+            # no VMEM overflow, 40.2 ms/step vs 57.7 ms scan over the full
+            # 60k-iteration recipe, identical final ELBO/lnZ — this
+            # 196-D flow target is matmul-dominated either way, so the
+            # fused win here is 1.4x, not the small-dim kernels' 8-10x.
             blk = choose_block(
                 setup.dim,
                 n_chains if n_chains is not None else 1 << 30,
                 traj_arrays=2,
                 nbridges=setup.nbridges,
             )
-            fwd_win = (
-                2 * 2 * (setup.nbridges + 1)
-                * _dim_pad(setup.dim) * blk * 4
-            )
-            if fwd_win + est + 8 * 1024 * 1024 >= 128 * 1024 * 1024:
+            tb = choose_time_block(setup.nbridges, setup.dim, blk, 2, est)
+            rows_eff = (setup.nbridges + 1) if tb is None else tb
+            win = 2 * 2 * rows_eff * _dim_pad(setup.dim) * blk * 4
+            if win + est + 24 * 1024 * 1024 >= 128 * 1024 * 1024:
                 return False
         return est < _VMEM_TRAIN_BUDGET
     if setup.mode == "MCD_CAIS_sn":
@@ -326,10 +347,17 @@ def supports_fused_train(setup: bounds.CMCDSetup, target,
         block = choose_block(
             setup.dim, 128, traj_arrays=2, nbridges=setup.nbridges
         )
-        # Trajectory + cotangent-stack windows are whole (K+1) stacks per
-        # program — they scale with nbridges (LGCP K=256 would need 420 MB
-        # of windows alone; the scan path handles that regime).
-        traj_windows = 2 * (setup.nbridges + 1) * _dim_pad(setup.dim) * block * 4
+        # Trajectory + cotangent-stack windows: whole (K+1) stacks per
+        # program on the single-window sweep (the K=8 hardware calibration
+        # below), bounded by the time-chunked sweep for larger nbridges
+        # (choose_time_block — same est-aware auto rule _make_evolve_kl
+        # applies; hardware: 1600-D K=64 bf16 picks t_block=4 and runs,
+        # t_block=8 hit 132 MB of the 128 MB physical VMEM).
+        tb = choose_time_block(
+            setup.nbridges, setup.dim, block, 2, est - sn_b + sn_eff
+        )
+        rows_eff = (setup.nbridges + 1) if tb is None else tb
+        traj_windows = 2 * rows_eff * _dim_pad(setup.dim) * block * 4
         need = (
             (16 * sn_eff) // 5
             + (est - sn_b)
@@ -365,9 +393,28 @@ def fused_train_recommended(setup: bounds.CMCDSetup, target, n_chains: int,
         return False
     from cmcd_tpu.ops.fused_train import _NET_GRADS_OUTSIDE_BYTES
 
-    if (_packed_sn_bytes(setup) > _NET_GRADS_OUTSIDE_BYTES
-            and n_chains < 96):
-        return False
+    sn_b = _packed_sn_bytes(setup)
+    if sn_b > _NET_GRADS_OUTSIDE_BYTES:
+        if n_chains < 96:
+            return False
+        # Time-chunked split sweeps (big K on a large net): measured on
+        # v5e (1600-D LGCP, N=128, bf16, probe methodology incl. ~30 ms
+        # dispatch bias on both sides) the fused/scan crossover is at
+        # K~128 — K=64 scan 126 ms vs fused 144, K=256 scan 171 vs fused
+        # 137 (both paths are largely fixed-cost-dominated at this batch,
+        # so the fused win grows with K). The single-window K=8 sweep
+        # stays recommended (fused 1.15x at N=128).
+        blk = choose_block(
+            setup.dim, n_chains, traj_arrays=2, nbridges=setup.nbridges
+        )
+        est = _vmem_estimate(setup, target, blk)
+        sn_eff = (
+            sn_b // 2 if (bf16_net and setup.nn_arch == "geffner") else sn_b
+        )
+        if choose_time_block(
+            setup.nbridges, setup.dim, blk, 2, est - sn_b + sn_eff
+        ) is not None and setup.nbridges < 128:
+            return False
     return True
 
 

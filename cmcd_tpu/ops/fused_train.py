@@ -282,10 +282,15 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec,
     if time_block is None:
         # Auto time-chunk the reverse sweep when its whole-trajectory
         # windows (traj + noise, or traj + the split gsn output — 2 stacks
-        # either way) would blow the VMEM share (ops/fused.choose_time_block).
-        from cmcd_tpu.ops.fused import choose_time_block
+        # either way) would blow the VMEM share (ops/fused.choose_time_block,
+        # which shrinks the window share as the kernel's resident set —
+        # weights at their storage dtype + target consts — grows).
+        from cmcd_tpu.ops.fused import _vmem_estimate, choose_time_block
 
-        time_block = choose_time_block(setup.nbridges, dim, block, 2)
+        est = _vmem_estimate(setup, target, block)
+        if bf16_net:
+            est -= _packed_sn_bytes(setup) // 2
+        time_block = choose_time_block(setup.nbridges, dim, block, 2, est)
 
     def _pack(theta):
         from cmcd_tpu.ops.fused import _pack_net

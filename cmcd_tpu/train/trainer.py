@@ -326,7 +326,13 @@ def train(
         if need_host:
             c_losses_host = jax.device_get(c_losses)
             now = time.time()
-            if steps_done > rate_iter and now > rate_t:
+            # The first materialization's delta includes compile time;
+            # report 0.0 (unknown) until a clean inter-chunk delta exists.
+            if (
+                rate_iter > start_step
+                and steps_done > rate_iter
+                and now > rate_t
+            ):
                 chunk_rate = (steps_done - rate_iter) / (now - rate_t)
             rate_t, rate_iter = now, steps_done
         for i in range(i0, i0 + c):
