@@ -505,3 +505,48 @@ def test_pallas_kl_time_chunked_split_matches_scan(monkeypatch):
         float(jnp.linalg.norm(f1 - f2)),
         scale,
     )
+
+
+def test_choose_time_block_hardware_ladder():
+    """choose_time_block encodes the v5e VMEM ladder measured on the
+    1600-D LGCP split sweep (round 3, RESULTS.md): single-window at K=8
+    (fits, fastest), t_block=4 at K=64 (t_block=8 hit 132 MB of the
+    128 MB physical), t_block=2 at K=256 (t_block=4 was 2.2 MB over the
+    120 MB scoped cap). The est-aware chunked share must not disturb the
+    validated nice K=256 in-kernel choice (t_block=64)."""
+    from cmcd_tpu.ops.fused import (
+        _packed_sn_bytes,
+        _vmem_estimate,
+        choose_time_block,
+        fused_train_recommended,
+        supports_fused_train,
+    )
+
+    lgcp = cmcd_tpu.load_target("lgcp")
+    mk = lambda nb: bounds.CMCDSetup(
+        mode="MCD_CAIS_sn", dim=lgcp.dim, nbridges=nb, emb_dim=20,
+        grad_clipping=True,
+    )
+    est_bf16 = lambda s: (
+        _vmem_estimate(s, lgcp, 128) - _packed_sn_bytes(s) // 2
+    )
+    assert choose_time_block(8, lgcp.dim, 128, 2, est_bf16(mk(8))) is None
+    assert choose_time_block(64, lgcp.dim, 128, 2, est_bf16(mk(64))) == 4
+    assert choose_time_block(256, lgcp.dim, 128, 2, est_bf16(mk(256))) == 2
+
+    # Both big-K configs are admitted (they compile and run on hardware)
+    # and routed by the measured K~128 fused/scan crossover.
+    for nb, rec in ((64, False), (256, True)):
+        assert supports_fused_train(mk(nb), lgcp, bf16_net=True, n_chains=128)
+        assert fused_train_recommended(
+            mk(nb), lgcp, 128, bf16_net=True
+        ) is rec
+
+    nice = cmcd_tpu.load_target("nice")
+    s = bounds.CMCDSetup(
+        mode="MCD_CAIS_sn", dim=nice.dim, nbridges=256, emb_dim=48,
+        grad_clipping=True,
+    )
+    assert choose_time_block(
+        256, nice.dim, 128, 2, _vmem_estimate(s, nice, 128)
+    ) == 64
