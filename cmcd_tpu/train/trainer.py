@@ -268,7 +268,9 @@ def train(
     rate_iter = start_step
     chunk_rate = 0.0
 
-    def save_state(steps_done):
+    def save_state(steps_done, wait=False):
+        # Periodic saves are async (orbax background write overlaps the
+        # next chunks); the final save is durable before train() returns.
         extra = {"ema": ema} if use_ema else None
         checkpoint.save(
             steps_done,
@@ -276,6 +278,7 @@ def train(
             opt_state=opt_state,
             key=key,
             extra=extra,
+            wait=wait,
         )
 
     # Profiling brackets rounded out to chunk boundaries (>= one chunk).
@@ -368,7 +371,7 @@ def train(
     # Final checkpoint has the same full-state layout as the periodic ones,
     # so any checkpoint in the directory is resumable.
     if checkpoint is not None and steps_done > start_step:
-        save_state(steps_done)
+        save_state(steps_done, wait=True)
 
     final = {"train": train_p, "notrain": notrain}
     ema_full = {"train": ema, "notrain": notrain} if use_ema else None

@@ -24,7 +24,16 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
         )
 
-    def save(self, step: int, params, opt_state=None, key=None, extra: Optional[dict] = None):
+    def save(self, step: int, params, opt_state=None, key=None,
+             extra: Optional[dict] = None, wait: bool = False):
+        """Persist the full training state.
+
+        ASYNC by default: orbax copies the arrays to host before
+        returning, then writes in a background thread, so periodic
+        checkpoints overlap with training instead of stalling a chunk
+        boundary. Commits are atomic (tmp dir + rename) — a checkpoint
+        killed mid-write never becomes `latest_step`. wait=True blocks
+        until the write is durable (the trainer's final save)."""
         state = {"params": params}
         if opt_state is not None:
             state["opt_state"] = opt_state
@@ -33,12 +42,19 @@ class CheckpointManager:
         if extra:
             state["extra"] = extra
         self._mngr.save(step, args=ocp.args.StandardSave(state))
+        if wait:
+            self._mngr.wait_until_finished()
+
+    def wait(self):
+        """Block until all pending async saves are committed."""
         self._mngr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
+        self._mngr.wait_until_finished()
         return self._mngr.latest_step()
 
     def restore(self, step: Optional[int] = None, template: Any = None):
+        self._mngr.wait_until_finished()
         step = step if step is not None else self.latest_step()
         if step is None:
             return None, None
@@ -51,4 +67,5 @@ class CheckpointManager:
         return step, restored
 
     def close(self):
+        self._mngr.wait_until_finished()
         self._mngr.close()

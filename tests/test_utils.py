@@ -87,3 +87,28 @@ def test_checkpoint_roundtrip(tmp_path):
         onp.asarray(restored["key"]), onp.asarray(jax.random.PRNGKey(7))
     )
     mngr.close()
+
+
+def test_checkpoint_async_saves_commit_atomically(tmp_path):
+    """Periodic saves are ASYNC (background orbax write, no stall at the
+    chunk boundary); every read path (latest_step/restore/wait/close)
+    barriers on pending writes, so back-to-back async saves are all
+    durable and the newest wins."""
+    import jax
+
+    from cmcd_tpu.utils.checkpoint import CheckpointManager
+
+    mngr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=3)
+    for step in (10, 20, 30):
+        params = {"train": {"a": jnp.full((4,), float(step))}}
+        mngr.save(step, params, key=jax.random.PRNGKey(step))  # no wait
+    assert mngr.latest_step() == 30
+    step, restored = mngr.restore(
+        template={"params": {"train": {"a": jnp.zeros((4,))}},
+                  "key": jax.random.PRNGKey(0)}
+    )
+    assert step == 30
+    onp.testing.assert_allclose(
+        onp.asarray(restored["params"]["train"]["a"]), onp.full((4,), 30.0)
+    )
+    mngr.close()
