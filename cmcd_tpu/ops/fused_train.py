@@ -412,13 +412,19 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec,
     return evolve
 
 
-def _make_evolve_kl_ud(setup, target, n_chains, block, interpret, spec, full_sn):
+def _make_evolve_kl_ud(setup, target, n_chains, block, interpret, spec,
+                       full_sn, time_block=None):
     """custom_vjp'd (theta, z0, seed, noise) -> (w_delta, z_final) for the
     underdamped KL modes (full BPTT through position AND momentum).
 
     theta adds gamma/eta; the forward kernel stores (z, rho) trajectories +
     noise draws (return_state_t) and the backward is the underdamped
-    reverse-sweep kernel (ops/pallas_kl.evolve_kl_bwd_underdamped)."""
+    reverse-sweep kernel (ops/pallas_kl.evolve_kl_bwd_underdamped).
+
+    time_block: time-chunk the stored windows (forward) and the reverse
+    sweep for big-K configs whose whole-(K+1) 3-stack windows exceed VMEM
+    (choose_time_block_ud). None (the default auto when whole windows fit
+    physical VMEM) keeps the hardware-validated single-window sweep."""
     from cmcd_tpu.ops.pallas_kl import evolve_kl_bwd_underdamped
     from cmcd_tpu.ops.pallas_underdamped import (
         evolve_underdamped_pallas,
@@ -429,6 +435,15 @@ def _make_evolve_kl_ud(setup, target, n_chains, block, interpret, spec, full_sn)
     dim_pad = _dim_pad(dim)
     grad_t = grad_t_for_target(target, dim_pad)
     use_sn = spec.fwd_sn or spec.bwd_sn != "none"
+    if time_block is None:
+        # Auto time-chunk (3 stored stacks: z traj + rho traj + noise)
+        # when the whole-(K+1) windows would blow the VMEM share — same
+        # est-aware rule as the overdamped _make_evolve_kl.
+        from cmcd_tpu.ops.fused import _vmem_estimate, choose_time_block
+
+        est = _vmem_estimate(setup, target, block)
+        time_block = choose_time_block(setup.nbridges, dim, block, 3, est)
+    chunked = time_block is not None and time_block < setup.nbridges
 
     def _pack(theta):
         if use_sn:
@@ -437,7 +452,7 @@ def _make_evolve_kl_ud(setup, target, n_chains, block, interpret, spec, full_sn)
 
     def _run_forward(theta, z0, seed, noise):
         sn_weights, sn_meta = _pack(theta)
-        z_final, w_delta, ztraj, rtraj, noise_t = evolve_underdamped_pallas(
+        out = evolve_underdamped_pallas(
             z0,
             theta["betas"],
             theta["eps"],
@@ -455,23 +470,30 @@ def _make_evolve_kl_ud(setup, target, n_chains, block, interpret, spec, full_sn)
             block=block,
             noise=noise,
             return_state_t=True,
+            time_block=time_block,
             interpret=interpret,
         )
-        return w_delta, z_final, ztraj, rtraj, noise_t
+        if chunked:
+            z_final, w_delta, ztraj, rtraj, noise_t, rhoK_t = out
+        else:
+            z_final, w_delta, ztraj, rtraj, noise_t = out
+            rhoK_t = None
+        return w_delta, z_final, ztraj, rtraj, noise_t, rhoK_t
 
     @jax.custom_vjp
     def evolve(theta, z0, seed, noise):
-        w_delta, z_final, _, _, _ = _run_forward(theta, z0, seed, noise)
+        w_delta, z_final, _, _, _, _ = _run_forward(theta, z0, seed, noise)
         return w_delta, z_final
 
     def evolve_fwd(theta, z0, seed, noise):
-        w_delta, z_final, ztraj, rtraj, noise_t = _run_forward(
+        w_delta, z_final, ztraj, rtraj, noise_t, rhoK_t = _run_forward(
             theta, z0, seed, noise
         )
-        return (w_delta, z_final), (theta, ztraj, rtraj, noise_t, noise)
+        return (w_delta, z_final), (theta, ztraj, rtraj, noise_t, rhoK_t,
+                                    noise)
 
     def evolve_bwd(res, cots):
-        theta, ztraj, rtraj, noise_t, noise = res
+        theta, ztraj, rtraj, noise_t, rhoK_t, noise = res
         g_deltas, g_zfinal = cots
         sn_weights, sn_meta = _pack(theta)
         grads, g_z0 = evolve_kl_bwd_underdamped(
@@ -494,6 +516,8 @@ def _make_evolve_kl_ud(setup, target, n_chains, block, interpret, spec, full_sn)
             sn_weights=sn_weights,
             sn_meta=sn_meta,
             block=block,
+            time_block=time_block,
+            rhoK_t=rhoK_t,
             interpret=interpret,
         )
         g_theta = {
@@ -634,7 +658,8 @@ def _neg_elbos_pallas_kl_uha(
 
 
 def _neg_elbos_pallas_kl_ud(
-    params, key, n_chains, ctx, setup, target, *, block, noise, interpret
+    params, key, n_chains, ctx, setup, target, *, block, noise, interpret,
+    time_block=None,
 ):
     from cmcd_tpu.ops.fused import _PALLAS_UD_SPECS
 
@@ -662,7 +687,8 @@ def _neg_elbos_pallas_kl_ud(
     if spec.fwd_sn or spec.bwd_sn != "none":
         theta["sn"] = p["sn"]
     evolve = _make_evolve_kl_ud(
-        setup, target, n_chains, block, interpret, spec, full_sn
+        setup, target, n_chains, block, interpret, spec, full_sn,
+        time_block=time_block,
     )
     w_delta, z_final = evolve(theta, z0, seed, noise)
     w = w0 + w_delta + ctx.target_log_prob(z_final)
@@ -715,6 +741,7 @@ def neg_elbos_pallas_kl(
         return _neg_elbos_pallas_kl_ud(
             params, key, n_chains, ctx, setup, target,
             block=block, noise=noise, interpret=interpret,
+            time_block=time_block,
         )
     spec = _PALLAS_SPECS[setup.mode]
     p = bounds.merged_params(params)

@@ -962,6 +962,8 @@ def evolve_kl_bwd_underdamped(
     sn_weights,
     sn_meta,
     block: int = 1024,
+    time_block: int | None = None,
+    rhoK_t=None,
     interpret: bool = False,
 ):
     """Reverse-sweep BPTT gradients for the underdamped (leapfrog) family.
@@ -977,11 +979,29 @@ def evolve_kl_bwd_underdamped(
     g_zfinal: (n_chains, dim) cotangent of the final position (target term,
     computed by XLA).
 
+    time_block: TIME-CHUNKED sweep (like the overdamped evolve_kl_bwd_pallas)
+    for big-K configs whose whole-(K+1) windows exceed VMEM. Expects the
+    chunked forward's K-row layouts — ztraj/rtraj rows 0..K-1, noise rows
+    xi_0..xi_{K-1} UNSHIFTED — plus the boundary momentum rhoK_t
+    ((dim_pad, n_pad) raw) for the endpoint-correction seed. The grid gains
+    a reverse-time dimension; state/momentum cotangents carry in VMEM
+    scratch; parameter gradients accumulate in the output refs.
+
     Returns (grads dict {"eps","gamma","eta","betas","vd_mean",
     "vd_logdiag"[,"sn"]}, g_z0 (n_chains, dim)).
     """
     n_traj, dim_pad, n_pad = ztraj_t.shape
-    assert n_traj == nbridges + 1
+    if time_block is None or time_block >= nbridges:
+        t_block = nbridges
+        chunked = False
+        assert n_traj == nbridges + 1
+    else:
+        chunked = True
+        t_block = max(1, time_block)
+        while nbridges % t_block != 0:
+            t_block -= 1
+        assert n_traj == nbridges and rhoK_t is not None
+    nt = nbridges // t_block if chunked else 1
     block = _round_up(block, LANE)
     if n_pad % block != 0:
         block = next(
@@ -1176,69 +1196,136 @@ def evolve_kl_bwd_underdamped(
         noise_ref = refs[idx]; idx += 1
         c_ref = refs[idx]; idx += 1
         gzf_ref = refs[idx]; idx += 1
+        rhoK_ref = None
+        if chunked:
+            rhoK_ref = refs[idx]; idx += 1
         theta_refs = refs[idx : idx + n_theta]; idx += n_theta
         const_refs = refs[idx : idx + len(const_inputs)]
         idx += len(const_inputs)
         out_theta_refs = refs[idx : idx + n_theta]; idx += n_theta
         gz0_ref = refs[idx]; idx += 1
+        s_gz = s_grho = None
+        if chunked:
+            # Reverse-sweep carries across the sequential time-chunk grid.
+            s_gz = refs[idx]; idx += 1
+            s_grho = refs[idx]; idx += 1
 
         pid = pl.program_id(0)
+        pid_t = pl.program_id(1) if chunked else 0
+        # Chunk t sweeps global steps j in [lo, lo + t_block), descending.
+        lo = (nt - 1 - pid_t) * t_block
 
         consts = unpack_consts(const_shapes, const_refs)
         theta_vals = tuple(r[:] for r in theta_refs)
         c_row = c_ref[0:1, :]
 
-        def body(t, carry):
-            g_z, g_rho, acc = carry
-            j = nbridges - 1 - t
-            z = ztraj_ref[j]
-            rho = rtraj_ref[j]
-            xi = noise_ref[j + 1]
-            flat_in = list(theta_vals) + [z, rho, xi, j, g_z, g_rho, c_row]
-            out = jax.core.eval_jaxpr(point_jaxpr.jaxpr, consts, *flat_in)
-            g_theta = tuple(out[:n_theta])
-            g_z, g_rho = out[n_theta], out[n_theta + 1]
-            acc = tuple(a + g for a, g in zip(acc, g_theta))
-            return (g_z, g_rho, acc)
+        if chunked:
+            # Parameter gradients accumulate IN the output refs (zeroed by
+            # the first program; the sequential grid revisits the blocks).
+            @pl.when((pid == 0) & (pid_t == 0))
+            def _zero_outputs():
+                for o_ref in out_theta_refs:
+                    o_ref[:] = jnp.zeros(o_ref.shape, jnp.float32)
 
-        # Momentum cotangent seeded by the endpoint correction
-        # w += log N(rho_K; 0, I): d/d rho_K = -rho_K, times the per-chain
-        # cotangent of w_delta.
-        g_rho_init = -rtraj_ref[nbridges] * c_row
-        acc0 = tuple(jnp.zeros(t.shape, jnp.float32) for t in theta_vals)
-        g_z0, _, acc = jax.lax.fori_loop(
-            0, nbridges, body, (gzf_ref[:], g_rho_init, acc0)
+            # Momentum cotangent seeded by the endpoint correction
+            # w += log N(rho_K; 0, I): d/d rho_K = -rho_K, times the
+            # per-chain cotangent of w_delta.
+            @pl.when(pid_t == 0)
+            def _init_carries():
+                s_gz[:] = gzf_ref[:]
+                s_grho[:] = -rhoK_ref[:] * c_row
+
+            def body(t, carry):
+                g_z, g_rho = carry
+                jl = t_block - 1 - t  # local window row
+                j = lo + jl
+                z = ztraj_ref[jl]
+                rho = rtraj_ref[jl]
+                xi = noise_ref[jl]  # chunked layout: row j holds xi_j
+                flat_in = list(theta_vals) + [
+                    z, rho, xi, j, g_z, g_rho, c_row
+                ]
+                out = jax.core.eval_jaxpr(point_jaxpr.jaxpr, consts, *flat_in)
+                for o_ref, g in zip(out_theta_refs, out[:n_theta]):
+                    o_ref[:] = o_ref[:] + g
+                return (out[n_theta], out[n_theta + 1])
+
+            g_z0, g_rho0 = jax.lax.fori_loop(
+                0, t_block, body, (s_gz[:], s_grho[:])
+            )
+            s_gz[:] = g_z0
+            s_grho[:] = g_rho0
+
+            @pl.when(pid_t == nt - 1)
+            def _final():
+                gz0_ref[:] = g_z0
+        else:
+            def body(t, carry):
+                g_z, g_rho, acc = carry
+                j = nbridges - 1 - t
+                z = ztraj_ref[j]
+                rho = rtraj_ref[j]
+                xi = noise_ref[j + 1]
+                flat_in = list(theta_vals) + [z, rho, xi, j, g_z, g_rho, c_row]
+                out = jax.core.eval_jaxpr(point_jaxpr.jaxpr, consts, *flat_in)
+                g_theta = tuple(out[:n_theta])
+                g_z, g_rho = out[n_theta], out[n_theta + 1]
+                acc = tuple(a + g for a, g in zip(acc, g_theta))
+                return (g_z, g_rho, acc)
+
+            # Momentum cotangent seeded by the endpoint correction
+            # w += log N(rho_K; 0, I): d/d rho_K = -rho_K, times the
+            # per-chain cotangent of w_delta.
+            g_rho_init = -rtraj_ref[nbridges] * c_row
+            acc0 = tuple(jnp.zeros(t.shape, jnp.float32) for t in theta_vals)
+            g_z0, _, acc = jax.lax.fori_loop(
+                0, nbridges, body, (gzf_ref[:], g_rho_init, acc0)
+            )
+            gz0_ref[:] = g_z0
+
+            for o_ref, g in zip(out_theta_refs, acc):
+                @pl.when(pid == 0)
+                def _init(o_ref=o_ref, g=g):
+                    o_ref[:] = g
+
+                @pl.when(pid != 0)
+                def _acc(o_ref=o_ref, g=g):
+                    o_ref[:] = o_ref[:] + g
+
+    if chunked:
+        traj_spec = pl.BlockSpec(
+            (t_block, dim_pad, block),
+            lambda i, t: (nt - 1 - t, 0, i),
+            memory_space=pltpu.VMEM,
         )
-        gz0_ref[:] = g_z0
-
-        for o_ref, g in zip(out_theta_refs, acc):
-            @pl.when(pid == 0)
-            def _init(o_ref=o_ref, g=g):
-                o_ref[:] = g
-
-            @pl.when(pid != 0)
-            def _acc(o_ref=o_ref, g=g):
-                o_ref[:] = o_ref[:] + g
-
-    traj_spec = pl.BlockSpec(
-        (nbridges + 1, dim_pad, block),
-        lambda i: (0, 0, i),
-        memory_space=pltpu.VMEM,
-    )
+    else:
+        traj_spec = pl.BlockSpec(
+            (nbridges + 1, dim_pad, block),
+            lambda i, t=0: (0, 0, i),
+            memory_space=pltpu.VMEM,
+        )
     in_specs = [
         traj_spec,
         traj_spec,
         traj_spec,
-        pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, block), lambda i, t=0: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec(
-            (dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM
+            (dim_pad, block), lambda i, t=0: (0, i), memory_space=pltpu.VMEM
         ),
     ]
     inputs = [ztraj_t, rtraj_t, noise_t, cot_rows, gzf_t]
+    if chunked:
+        in_specs.append(
+            pl.BlockSpec(
+                (dim_pad, block), lambda i, t: (0, i),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(rhoK_t)
     for t in theta:
         in_specs.append(
             pl.BlockSpec(
-                t.shape, lambda i, nd=t.ndim: (0,) * nd,
+                t.shape, lambda i, t=0, nd=t.ndim: (0,) * nd,
                 memory_space=pltpu.VMEM,
             )
         )
@@ -1246,7 +1333,7 @@ def evolve_kl_bwd_underdamped(
     for c in const_inputs:
         in_specs.append(
             pl.BlockSpec(
-                c.shape, lambda i, nd=c.ndim: (0,) * nd,
+                c.shape, lambda i, t=0, nd=c.ndim: (0,) * nd,
                 memory_space=pltpu.VMEM,
             )
         )
@@ -1254,26 +1341,34 @@ def evolve_kl_bwd_underdamped(
 
     out_specs = [
         pl.BlockSpec(
-            t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM
+            t.shape, lambda i, t=0, nd=t.ndim: (0,) * nd,
+            memory_space=pltpu.VMEM,
         )
         for t in theta
     ]
     out_shape = [jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta]
     out_specs.append(
         pl.BlockSpec(
-            (dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM
+            (dim_pad, block), lambda i, t=0: (0, i), memory_space=pltpu.VMEM
         )
     )
     out_shape.append(jax.ShapeDtypeStruct((dim_pad, n_pad), jnp.float32))
+    scratch_shapes = []
+    if chunked:
+        scratch_shapes = [
+            pltpu.VMEM((dim_pad, block), jnp.float32),  # g_z carry
+            pltpu.VMEM((dim_pad, block), jnp.float32),  # g_rho carry
+        ]
 
     kwargs = vmem_limit_params(inputs, out_shape, interpret=interpret)
 
     outs = pl.pallas_call(
         kernel,
-        grid=(nchunks,),
+        grid=(nchunks, nt) if chunked else (nchunks,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
         **kwargs,
     )(*inputs)

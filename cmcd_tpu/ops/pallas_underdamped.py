@@ -80,6 +80,7 @@ def evolve_underdamped_pallas(
     block: int = 512,
     noise: Optional[jnp.ndarray] = None,
     return_state_t: bool = False,
+    time_block: Optional[int] = None,
     interpret: bool = False,
 ):
     """Run nbridges underdamped leapfrog steps fused on-core.
@@ -98,6 +99,15 @@ def evolve_underdamped_pallas(
     (nbridges + 1, dim_pad, n_pad) in the injected-noise layout (index 0 the
     initial momentum, i + 1 the step-i refresh). The residuals of the
     underdamped BPTT reverse-sweep backward kernel (ops/pallas_kl.py).
+
+    time_block (with return_state_t): TIME-CHUNK the stored windows like the
+    overdamped rollout — a (nblocks, nt) grid whose per-program windows hold
+    t_block rows, with (z, rho, w) carried across chunks in VMEM scratch.
+    The chunked layouts differ: z/rho trajectories hold rows 0..K-1 (K rows;
+    the final state exits via the extra rho_final output and the usual
+    z_final), and the noise stack holds xi_0..xi_{K-1} UNSHIFTED at row j
+    (the initial momentum draw is not stored — its gradient dies). Returns
+    (z_final, w_delta, ztraj_t, rtraj_t, noise_out_t, rho_final_t).
     """
     n, d = z0.shape
     assert d == dim
@@ -105,6 +115,18 @@ def evolve_underdamped_pallas(
     block = _round_up(block, LANE)
     n_pad = _round_up(n, block)
     nblocks = n_pad // block
+
+    chunked = bool(
+        return_state_t and time_block is not None and time_block < nbridges
+    )
+    if chunked:
+        t_block = max(1, time_block)
+        while nbridges % t_block != 0:
+            t_block -= 1
+        nt = nbridges // t_block
+    else:
+        t_block = nbridges
+        nt = 1
 
     use_sn = spec.fwd_sn or spec.bwd_sn != "none"
     if use_sn:
@@ -136,11 +158,26 @@ def evolve_underdamped_pallas(
 
     inject_noise = noise is not None
     if inject_noise:
-        noise_t = (
-            jnp.zeros((nbridges + 1, dim_pad, n_pad), jnp.float32)
-            .at[:, :dim, :n]
-            .set(jnp.swapaxes(noise, 1, 2))
-        )
+        if chunked:
+            # Chunked layout: xi_0..xi_{K-1} only (row j = step-j refresh);
+            # the initial momentum draw enters as its own (dim_pad, n_pad)
+            # input.
+            noise_t = (
+                jnp.zeros((nbridges, dim_pad, n_pad), jnp.float32)
+                .at[:, :dim, :n]
+                .set(jnp.swapaxes(noise[1:], 1, 2))
+            )
+            rho0_t = (
+                jnp.zeros((dim_pad, n_pad), jnp.float32)
+                .at[:dim, :n]
+                .set(noise[0].T)
+            )
+        else:
+            noise_t = (
+                jnp.zeros((nbridges + 1, dim_pad, n_pad), jnp.float32)
+                .at[:, :dim, :n]
+                .set(jnp.swapaxes(noise, 1, 2))
+            )
 
     # CAIS underdamped hardcodes target clip 1e2, vd unclipped
     # (src/mcd_under_lp_a_cais.py:23-29); other modes are unclipped.
@@ -279,18 +316,26 @@ def evolve_underdamped_pallas(
         scal_ref = refs[idx]; idx += 1
         seed_ref = refs[idx]; idx += 1
         z_ref = refs[idx]; idx += 1
-        noise_ref = None
+        noise_ref = rho0_ref = None
         if inject_noise:
             noise_ref = refs[idx]; idx += 1
+            if chunked:
+                rho0_ref = refs[idx]; idx += 1
         const_refs = refs[idx : idx + len(const_inputs)]
         idx += len(const_inputs)
         out_z_ref = refs[idx]; idx += 1
         out_w_ref = refs[idx]; idx += 1
-        ztraj_ref = rtraj_ref = nout_ref = None
+        ztraj_ref = rtraj_ref = nout_ref = out_rho_ref = None
         if return_state_t:
             ztraj_ref = refs[idx]; idx += 1
             rtraj_ref = refs[idx]; idx += 1
             nout_ref = refs[idx]; idx += 1
+        if chunked:
+            out_rho_ref = refs[idx]; idx += 1
+            # Chain-state carries across the sequential time-chunk grid.
+            s_z = refs[idx]; idx += 1
+            s_rho = refs[idx]; idx += 1
+            s_w = refs[idx]; idx += 1
 
         eps0 = scal_ref[0, 0]
         factor = scal_ref[0, 1]
@@ -298,8 +343,12 @@ def evolve_underdamped_pallas(
         eta_v = scal_ref[0, 3]
 
         pid = pl.program_id(0)
+        pid_t = pl.program_id(1) if chunked else 0
+        lo = pid_t * t_block
         if not inject_noise:
-            pltpu.prng_seed(seed_ref[0, 0] + pid)
+            # Distinct stream per (chain-block, time-chunk) program (with
+            # nt=1 this is the original seed + pid assignment).
+            pltpu.prng_seed(seed_ref[0, 0] + pid * nt + pid_t)
 
         consts = []
         for (kind, shape), ref in zip(const_shapes, const_refs):
@@ -310,96 +359,161 @@ def evolve_underdamped_pallas(
                 v = v[0]
             consts.append(v)
 
-        z = z_ref[:]
-        # Initial momentum ~ N(0, I) and its endpoint correction
-        # (src/mcd_under_lp_a.py:65-71).
-        if inject_noise:
-            rho = noise_ref[0]
-        else:
-            rho = _box_muller((dim_pad, block))
         row_mask_k = (
             jax.lax.broadcasted_iota(jnp.int32, (dim_pad, 1), 0) < dim
         ).astype(jnp.float32)
-        rho = rho * row_mask_k
-        w = 0.5 * jnp.sum(rho * rho * row_mask_k, axis=0, keepdims=True) + (
-            0.5 * dim * LOG_2PI
-        )
 
-        if return_state_t:
-            nout_ref[0] = rho
+        def init_state():
+            z0_v = z_ref[:]
+            # Initial momentum ~ N(0, I) and its endpoint correction
+            # (src/mcd_under_lp_a.py:65-71).
+            if inject_noise:
+                rho0 = rho0_ref[:] if chunked else noise_ref[0]
+            else:
+                rho0 = _box_muller((dim_pad, block))
+            rho0 = rho0 * row_mask_k
+            w0 = 0.5 * jnp.sum(
+                rho0 * rho0 * row_mask_k, axis=0, keepdims=True
+            ) + (0.5 * dim * LOG_2PI)
+            return z0_v, rho0, w0
 
-        def body(i, carry):
+        if chunked:
+            @pl.when(pid_t == 0)
+            def _init_carry():
+                z0_v, rho0, w0 = init_state()
+                s_z[:] = z0_v
+                s_rho[:] = rho0
+                s_w[:] = jnp.broadcast_to(w0, (8, block))
+
+            z, rho, w = s_z[:], s_rho[:], s_w[0:1, :]
+        else:
+            z, rho, w = init_state()
+            if return_state_t:
+                nout_ref[0] = rho
+
+        def body(il, carry):
             z, rho, w = carry
+            i = lo + il if chunked else il
             beta = betas_ref[0, i]
             if inject_noise:
-                xi = noise_ref[i + 1]
+                xi = noise_ref[il if chunked else i + 1]
             else:
                 xi = _box_muller((dim_pad, block)) * row_mask_k
             if return_state_t:
-                ztraj_ref[i] = z
-                rtraj_ref[i] = rho
-                nout_ref[i + 1] = xi
+                ztraj_ref[il] = z
+                rtraj_ref[il] = rho
+                nout_ref[il if chunked else i + 1] = xi
             return step_conv(
                 z, rho, w, xi, i, beta, eps0, factor, gamma_v, eta_v, *consts
             )
 
-        z, rho, w = jax.lax.fori_loop(0, nbridges, body, (z, rho, w))
-        if return_state_t:
-            ztraj_ref[nbridges] = z
-            rtraj_ref[nbridges] = rho
-        # Final momentum correction: w += log N(rho_K; 0, I).
-        w = w - 0.5 * jnp.sum(rho * rho * row_mask_k, axis=0, keepdims=True) - (
-            0.5 * dim * LOG_2PI
-        )
-        out_z_ref[:] = z
-        out_w_ref[:] = jnp.broadcast_to(w, (8, block))
+        z, rho, w = jax.lax.fori_loop(0, t_block, body, (z, rho, w))
+
+        def emit_final(z, rho, w):
+            # Final momentum correction: w += log N(rho_K; 0, I).
+            w = w - 0.5 * jnp.sum(
+                rho * rho * row_mask_k, axis=0, keepdims=True
+            ) - (0.5 * dim * LOG_2PI)
+            out_z_ref[:] = z
+            out_w_ref[:] = jnp.broadcast_to(w, (8, block))
+
+        if chunked:
+            s_z[:] = z
+            s_rho[:] = rho
+            s_w[:] = jnp.broadcast_to(w, (8, block))
+
+            @pl.when(pid_t == nt - 1)
+            def _emit():
+                out_rho_ref[:] = rho
+                emit_final(z, rho, w)
+        else:
+            if return_state_t:
+                ztraj_ref[nbridges] = z
+                rtraj_ref[nbridges] = rho
+            emit_final(z, rho, w)
 
     in_specs = [
-        pl.BlockSpec((1, nbridges), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nbridges), lambda i, t=0: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 4), lambda i, t=0: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda i, t=0: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((dim_pad, block), lambda i, t=0: (0, i), memory_space=pltpu.VMEM),
     ]
     inputs = [betas_smem, scalars, seed_arr, z0_t]
     if inject_noise:
-        in_specs.append(
-            pl.BlockSpec(
-                (nbridges + 1, dim_pad, block),
-                lambda i: (0, 0, i),
-                memory_space=pltpu.VMEM,
+        if chunked:
+            in_specs.append(
+                pl.BlockSpec(
+                    (t_block, dim_pad, block),
+                    lambda i, t: (t, 0, i),
+                    memory_space=pltpu.VMEM,
+                )
             )
-        )
-        inputs.append(noise_t)
+            inputs.append(noise_t)
+            in_specs.append(
+                pl.BlockSpec(
+                    (dim_pad, block), lambda i, t: (0, i),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            inputs.append(rho0_t)
+        else:
+            in_specs.append(
+                pl.BlockSpec(
+                    (nbridges + 1, dim_pad, block),
+                    lambda i, t=0: (0, 0, i),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            inputs.append(noise_t)
     for c in const_inputs:
         in_specs.append(
             pl.BlockSpec(
-                c.shape, lambda i, nd=c.ndim: (0,) * nd, memory_space=pltpu.VMEM
+                c.shape, lambda i, t=0, nd=c.ndim: (0,) * nd,
+                memory_space=pltpu.VMEM,
             )
         )
         inputs.append(c)
 
     out_specs = [
-        pl.BlockSpec((dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((dim_pad, block), lambda i, t=0: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, block), lambda i, t=0: (0, i), memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((dim_pad, n_pad), jnp.float32),
         jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
     ]
     if return_state_t:
+        # Chunked: K-row stacks windowed by time chunk (z/rho rows 0..K-1,
+        # xi rows 0..K-1); single-window: whole (K+1)-row stacks.
+        traj_rows = nbridges if chunked else nbridges + 1
         for _ in range(3):  # z traj, rho traj, noise draws
             out_specs.append(
                 pl.BlockSpec(
-                    (nbridges + 1, dim_pad, block),
-                    lambda i: (0, 0, i),
+                    (t_block if chunked else traj_rows, dim_pad, block),
+                    (lambda i, t: (t, 0, i)) if chunked
+                    else (lambda i, t=0: (0, 0, i)),
                     memory_space=pltpu.VMEM,
                 )
             )
             out_shape.append(
                 jax.ShapeDtypeStruct(
-                    (nbridges + 1, dim_pad, n_pad), jnp.float32
+                    (traj_rows, dim_pad, n_pad), jnp.float32
                 )
             )
+    scratch_shapes = []
+    if chunked:
+        out_specs.append(
+            pl.BlockSpec(
+                (dim_pad, block), lambda i, t: (0, i),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shape.append(jax.ShapeDtypeStruct((dim_pad, n_pad), jnp.float32))
+        scratch_shapes = [
+            pltpu.VMEM((dim_pad, block), jnp.float32),  # z
+            pltpu.VMEM((dim_pad, block), jnp.float32),  # rho
+            pltpu.VMEM((8, block), jnp.float32),        # w
+        ]
 
     kwargs = vmem_limit_params(
         inputs, out_shape, extra_bytes=10 * dim_pad * block * 4,
@@ -408,10 +522,11 @@ def evolve_underdamped_pallas(
 
     outs = pl.pallas_call(
         kernel,
-        grid=(nblocks,),
+        grid=(nblocks, nt) if chunked else (nblocks,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=(
             pltpu.InterpretParams() if (interpret and not inject_noise) else interpret
         ),
@@ -419,6 +534,11 @@ def evolve_underdamped_pallas(
     )(*inputs)
 
     out_z_t, out_w = outs[0], outs[1]
+    if return_state_t and chunked:
+        return (
+            out_z_t[:dim, :n].T, out_w[0, :n],
+            outs[2], outs[3], outs[4], outs[5],
+        )
     if return_state_t:
         return out_z_t[:dim, :n].T, out_w[0, :n], outs[2], outs[3], outs[4]
     return out_z_t[:dim, :n].T, out_w[0, :n]

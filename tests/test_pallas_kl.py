@@ -216,16 +216,24 @@ def scan_kl_loss_fn_ud(params, ctx, key, n, noise, spec):
 
 
 @pytest.mark.parametrize(
-    "mode",
+    "mode,time_block",
     [
-        "MCD_U_a-lp",
-        "MCD_U_a-lp-sn",
-        "MCD_U_e-lp-sna",
-        "MCD_U_ea-lp-sn",
-        "MCD_CAIS_UHA_sn",
+        ("MCD_U_a-lp", None),
+        ("MCD_U_a-lp-sn", None),
+        ("MCD_U_e-lp-sna", None),
+        ("MCD_U_ea-lp-sn", None),
+        ("MCD_CAIS_UHA_sn", None),
+        # Time-chunked forward windows + reverse sweep (2-D grid,
+        # scratch-carried (g_z, g_rho) cotangents, K-row layouts, the
+        # boundary momentum rhoK seeding the endpoint correction).
+        ("MCD_U_a-lp", 2),
+        ("MCD_U_a-lp-sn", 2),
+        ("MCD_U_e-lp-sna", 1),
+        ("MCD_CAIS_UHA_sn", 2),
+        ("MCD_U_ea-lp-sn", 3),  # 4 % 3 != 0 -> normalizes to 2
     ],
 )
-def test_pallas_kl_underdamped_grad_matches_scan(mode):
+def test_pallas_kl_underdamped_grad_matches_scan(mode, time_block):
     from cmcd_tpu.ops.fused import _PALLAS_UD_SPECS
 
     n, nb = 96, 4
@@ -253,6 +261,7 @@ def test_pallas_kl_underdamped_grad_matches_scan(mode):
         return kl_bound_pallas(
             {"train": train, "notrain": params["notrain"]}, key, n, ctx,
             setup, target, block=128, noise=noise, interpret=True,
+            time_block=time_block,
         )[0]
 
     l1, g1 = jax.value_and_grad(
@@ -403,8 +412,9 @@ def test_fused_train_gate_trajectory_windows():
     """The OVERDAMPED KL backward time-chunks its trajectory windows
     (choose_time_block), so large (K+1) x dim_pad stacks no longer reject
     to scan — nice K=256 (the config that OOM'd the un-chunked sweep by
-    1.75 MiB on v5e) is admitted. The underdamped sweeps are still
-    single-window and stay gated."""
+    1.75 MiB on v5e) is admitted. The underdamped-family sweep now
+    time-chunks too (3 stored stacks); only UHA is still single-window
+    and stays gated."""
     from cmcd_tpu.ops.fused import choose_time_block, supports_fused_train
 
     nice = cmcd_tpu.load_target("nice")
@@ -425,10 +435,15 @@ def test_fused_train_gate_trajectory_windows():
     # Small configs stay on the single-window sweep (measured fastest).
     assert choose_time_block(8, sonar.dim, 1024, 2) is None
 
-    # Underdamped: whole-(K+1) windows, 3 stored stacks — a 196-D K=256
-    # config still exceeds physical VMEM and must reject to scan.
-    assert not supports_fused_train(
+    # Underdamped family: the time-chunked sweep bounds the 3-stack
+    # windows, so the 196-D K=256 config (rejected when single-window)
+    # is now admitted.
+    assert supports_fused_train(
         mk(256, nice.dim, mode="MCD_U_a-lp-sn"), nice, n_chains=300
+    )
+    # UHA keeps the whole-(K+1)-window sweep and stays gated at that size.
+    assert not supports_fused_train(
+        mk(256, nice.dim, mode="UHA"), nice, n_chains=300
     )
 
 
