@@ -141,6 +141,7 @@ def sharded_var_bound_pallas(
 def sharded_kl_bound_pallas(
     params, key, n_chains, ctx, setup, target, *, mesh,
     block=None, noise=None, interpret=False, bf16_net=False,
+    time_block=None,
 ):
     """Multi-chip fused KL training loss: each device runs the fused Pallas
     forward (and, under autodiff, the reverse-sweep BPTT backward) kernel on
@@ -171,6 +172,7 @@ def sharded_kl_bound_pallas(
             noise=local_noise[0] if local_noise else None,
             interpret=interpret,
             bf16_net=bf16_net,
+            time_block=time_block,
         )
 
     args = (params,) + ((noise,) if noise is not None else ())
