@@ -295,7 +295,38 @@ def bench_fused_eval(n, nbridges, emb_dim, iters, repeats,
     return t / calls_per_dispatch, [g / calls_per_dispatch for g in groups]
 
 
+def _backend_alive(timeout_s: int = 180) -> bool:
+    """Fail fast when the axon TPU relay is down. jax.devices() dials the
+    relay's local port and, when nothing listens, blocks FOREVER with no
+    error — a hung bench run looks like a crash to the driver. Probe in a
+    subprocess with a generous timeout (real init is ~10-40 s) so a dead
+    relay yields an honest one-line diagnostic instead of a hang."""
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        return proc.returncode == 0 and "ok" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _backend_alive():
+        print(json.dumps({
+            "metric": "chain_steps_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "chain-steps/s",
+            "vs_baseline": 0.0,
+            "error": "TPU backend unreachable (axon relay down: "
+                     "jax.devices() did not complete within 180 s); "
+                     "no measurement taken",
+        }))
+        return
     n = int(os.environ.get("BENCH_N", 2000))
     nbridges = int(os.environ.get("BENCH_NBRIDGES", 256))
     # Reference width: the README's 40-GMM VarGrad recipe sets
