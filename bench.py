@@ -295,24 +295,34 @@ def bench_fused_eval(n, nbridges, emb_dim, iters, repeats,
     return t / calls_per_dispatch, [g / calls_per_dispatch for g in groups]
 
 
-def _backend_alive(timeout_s: int = 180) -> bool:
+def _backend_alive(timeout_s: int = 180, attempts: int = 2,
+                   retry_sleep_s: int = 120) -> bool:
     """Fail fast when the axon TPU relay is down. jax.devices() dials the
     relay's local port and, when nothing listens, blocks FOREVER with no
     error — a hung bench run looks like a crash to the driver. Probe in a
     subprocess with a generous timeout (real init is ~10-40 s) so a dead
-    relay yields an honest one-line diagnostic instead of a hang."""
+    relay yields an honest one-line diagnostic instead of a hang.
+
+    The relay can also WEDGE transiently (~2-5 min after a killed
+    compile) and then recover; retry once after a sleep before declaring
+    it dead, so a recovering relay doesn't record a spurious zero."""
     import subprocess
     import sys
 
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; jax.devices(); print('ok')"],
-            timeout=timeout_s, capture_output=True, text=True,
-        )
-        return proc.returncode == 0 and "ok" in proc.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                timeout=timeout_s, capture_output=True, text=True,
+            )
+            if proc.returncode == 0 and "ok" in proc.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt + 1 < attempts:
+            time.sleep(retry_sleep_s)
+    return False
 
 
 def main():

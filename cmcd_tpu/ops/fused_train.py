@@ -423,8 +423,9 @@ def _make_evolve_kl_ud(setup, target, n_chains, block, interpret, spec,
 
     time_block: time-chunk the stored windows (forward) and the reverse
     sweep for big-K configs whose whole-(K+1) 3-stack windows exceed VMEM
-    (choose_time_block_ud). None (the default auto when whole windows fit
-    physical VMEM) keeps the hardware-validated single-window sweep."""
+    (auto via ops/fused.choose_time_block with n_arrays=3). None (the
+    default auto when whole windows fit physical VMEM) keeps the
+    hardware-validated single-window sweep."""
     from cmcd_tpu.ops.pallas_kl import evolve_kl_bwd_underdamped
     from cmcd_tpu.ops.pallas_underdamped import (
         evolve_underdamped_pallas,

@@ -15,6 +15,19 @@ import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 
 
+def normalize_time_block(nbridges: int, time_block: int) -> int:
+    """Largest divisor of nbridges that is <= max(1, time_block).
+
+    The ONE normalization rule shared by every time-chunked kernel: the
+    forward rollout's stored-window chunking and the reverse sweep's
+    chunk grid must agree on t_block or the window layouts desynchronize
+    — both sides call this on the SAME requested time_block."""
+    t_block = max(1, time_block)
+    while nbridges % t_block != 0:
+        t_block -= 1
+    return t_block
+
+
 def pack_consts(raw):
     """Lift jaxpr constants into VMEM-compatible arrays.
 

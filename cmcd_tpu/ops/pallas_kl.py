@@ -38,6 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from cmcd_tpu.integrators.overdamped import OverdampedSpec
 from cmcd_tpu.integrators.underdamped import UnderdampedSpec
 from cmcd_tpu.ops.kernel_common import (
+    normalize_time_block,
     pack_consts,
     unpack_consts,
     vmem_limit_params,
@@ -125,9 +126,7 @@ def evolve_kl_bwd_pallas(
     if time_block is None or time_block >= nbridges:
         t_block = nbridges
     else:
-        t_block = max(1, time_block)
-        while nbridges % t_block != 0:
-            t_block -= 1
+        t_block = normalize_time_block(nbridges, time_block)
     nt = nbridges // t_block
 
     use_sn = spec.fwd_sn or spec.bwd_sn
@@ -997,9 +996,7 @@ def evolve_kl_bwd_underdamped(
         assert n_traj == nbridges + 1
     else:
         chunked = True
-        t_block = max(1, time_block)
-        while nbridges % t_block != 0:
-            t_block -= 1
+        t_block = normalize_time_block(nbridges, time_block)
         assert n_traj == nbridges and rhoK_t is not None
     nt = nbridges // t_block if chunked else 1
     block = _round_up(block, LANE)

@@ -39,7 +39,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cmcd_tpu.integrators.overdamped import OverdampedSpec
-from cmcd_tpu.ops.kernel_common import vmem_limit_params
+from cmcd_tpu.ops.kernel_common import (
+    normalize_time_block,
+    vmem_limit_params,
+)
 
 LANE = 128
 
@@ -161,9 +164,7 @@ def evolve_overdamped_pallas(
     ):
         t_block = nbridges
     else:
-        t_block = max(1, time_block)
-        while nbridges % t_block != 0:
-            t_block -= 1
+        t_block = normalize_time_block(nbridges, time_block)
     nt = nbridges // t_block
     chunked = nt > 1
 

@@ -21,7 +21,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cmcd_tpu.integrators.underdamped import UnderdampedSpec
-from cmcd_tpu.ops.kernel_common import vmem_limit_params
+from cmcd_tpu.ops.kernel_common import (
+    normalize_time_block,
+    vmem_limit_params,
+)
 import math
 
 from cmcd_tpu.ops.pallas_overdamped import (
@@ -120,9 +123,7 @@ def evolve_underdamped_pallas(
         return_state_t and time_block is not None and time_block < nbridges
     )
     if chunked:
-        t_block = max(1, time_block)
-        while nbridges % t_block != 0:
-            t_block -= 1
+        t_block = normalize_time_block(nbridges, time_block)
         nt = nbridges // t_block
     else:
         t_block = nbridges

@@ -63,10 +63,14 @@ def main():
         )
         step = const_hoisted_jit(train_step, state)
         t, groups = time_steps(step, state, iters, repeats=3)
-        # Loss after the timed steps (same seed stream both sides; the
-        # realizations differ — kernel PRNG vs XLA PRNG — so compare level).
+        # Agreement check: BOTH paths take the SAME number of real update
+        # steps from the SAME init (time_steps discards its own state, so
+        # run a fresh short chain here), then evaluate the loss with one
+        # fixed key. Realizations differ (kernel PRNG vs XLA PRNG) so
+        # compare the level, not the bits.
+        n_check = 16
         final_state = state
-        for _ in range(4):
+        for _ in range(n_check):
             final_state = step(final_state)
         key = jax.random.PRNGKey(7)
         l = loss_builder(
@@ -75,7 +79,7 @@ def main():
         results[name] = (t, float(l))
         print(f"{name}: {t*1e3:.2f} ms/step "
               f"(groups {[round(g*1e3, 2) for g in groups]}), "
-              f"loss after {4} extra steps: {float(l):.3f}")
+              f"loss after {n_check} steps from init: {float(l):.3f}")
 
     sp = results["scan"][0] / results["fused"][0]
     print(f"speedup fused vs scan: {sp:.2f}x")
