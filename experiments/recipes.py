@@ -106,6 +106,47 @@ RECIPES = {
         ln_z_true=0.0,
         ln_z_tol=0.25,
     ),
+    # README.md:34 40-GMM KL recipe, geffner net at the published width
+    # ("kl 40gmm": emb_dim 130, eps 0.1, lr 0.005).
+    "many_gmm_kl": dict(
+        flags={
+            "model": "many_gmm",
+            "boundmode": "MCD_CAIS_sn",
+            "N": 2000,
+            "nbridges": 256,
+            "emb_dim": 130,
+            "pretrain_mfvi": False,
+            "init_sigma": 15,
+            "grad_clipping": True,
+            "init_eps": 0.1,
+            "lr": 0.005,
+            "train_eps": False,
+            "train_vi": False,
+            "iters": 5000,
+        },
+        ln_z_true=0.0,
+        ln_z_tol=0.25,
+    ),
+    # README.md:73 3-mode GMM replicate ("gmm replicate": emb_dim 20,
+    # eps 0.01, lr 1e-3).
+    "gmm_cais": dict(
+        flags={
+            "model": "gmm",
+            "boundmode": "MCD_CAIS_sn",
+            "N": 300,
+            "emb_dim": 20,
+            "init_eps": 0.01,
+            "init_sigma": 1,
+            "iters": 11000,
+            "pretrain_mfvi": False,
+            "train_vi": True,
+            "train_eps": False,
+            "lr": 0.001,
+            "n_samples": 500,
+        },
+        ln_z_true=0.0,
+        ln_z_tol=0.25,
+    ),
     # 2-mode GMM with plain ULA (driver config #1), CPU-runnable.
     "gmm_ula": dict(
         flags={
