@@ -289,15 +289,14 @@ def supports_fused_train(setup: bounds.CMCDSetup, target,
     from cmcd_tpu.ops.fused_train import _NET_GRADS_OUTSIDE_BYTES, KL_FUSED_MODES
 
     if sn_b <= _NET_GRADS_OUTSIDE_BYTES:
-        # Ordinary in-kernel weight-grad backward. The OVERDAMPED KL
-        # reverse sweep AND the underdamped-family sweep time-chunk their
-        # trajectory windows (pallas_kl time_block via choose_time_block),
-        # so their VMEM window footprint is bounded for any nbridges. The
-        # UHA sweep still reads whole (K+1)-step windows per program,
-        # DOUBLE-BUFFERED by the Mosaic pipeline — gate it on the physical
-        # ceiling (hardware calibration, v5e: nice K=256 dim_pad 200,
-        # block 128: 100.4 MiB windows + 17.2 MiB spills + misc exceeded
-        # 128 MiB by 1.75 MiB before the overdamped sweep was chunked).
+        # Ordinary in-kernel weight-grad backward. EVERY KL reverse sweep
+        # (overdamped, underdamped family, UHA) time-chunks its trajectory
+        # windows (pallas_kl time_block via choose_time_block), so the
+        # VMEM window footprint is bounded for any nbridges; gate on the
+        # effective chunked window against the physical ceiling
+        # (hardware calibration, v5e: nice K=256 dim_pad 200, block 128:
+        # 100.4 MiB whole windows + 17.2 MiB spills + misc exceeded
+        # 128 MiB by 1.75 MiB before the sweeps were chunked).
         if setup.mode in KL_FUSED_MODES and setup.mode not in _PALLAS_SPECS:
             n_arrays = 3
             blk = choose_block(
@@ -306,13 +305,10 @@ def supports_fused_train(setup: bounds.CMCDSetup, target,
                 traj_arrays=n_arrays,
                 nbridges=setup.nbridges,
             )
-            if setup.mode in _PALLAS_UD_SPECS:
-                tb = choose_time_block(
-                    setup.nbridges, setup.dim, blk, n_arrays, est
-                )
-                rows_eff = (setup.nbridges + 1) if tb is None else tb
-            else:  # UHA: single-window sweep
-                rows_eff = setup.nbridges + 1
+            tb = choose_time_block(
+                setup.nbridges, setup.dim, blk, n_arrays, est
+            )
+            rows_eff = (setup.nbridges + 1) if tb is None else tb
             win = 2 * n_arrays * rows_eff * _dim_pad(setup.dim) * blk * 4
             if win + est + 24 * 1024 * 1024 >= 128 * 1024 * 1024:
                 return False

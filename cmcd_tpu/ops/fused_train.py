@@ -545,17 +545,27 @@ def _make_evolve_kl_ud(setup, target, n_chains, block, interpret, spec,
     return evolve
 
 
-def _make_evolve_kl_uha(setup, target, n_chains, block, interpret):
+def _make_evolve_kl_uha(setup, target, n_chains, block, interpret,
+                        time_block=None):
     """custom_vjp'd (theta, z0, seed, noise) -> (w_delta, z_final) for UHA
     (full BPTT through position and momentum; trainable momentum logscale
     md — the initial rho_0 = e^{md} xi_0 draw is theta-dependent and the
-    backward kernel accounts for it)."""
+    backward kernel accounts for it).
+
+    time_block: time-chunk the stored windows (forward) and the reverse
+    sweep for big-K configs (auto via ops/fused.choose_time_block with
+    n_arrays=3; None keeps the single-window sweep when windows fit)."""
     from cmcd_tpu.ops.pallas_kl import evolve_kl_bwd_uha
     from cmcd_tpu.ops.pallas_uha import evolve_uha_pallas
 
     dim = setup.dim
     dim_pad = _dim_pad(dim)
     grad_t = grad_t_for_target(target, dim_pad)
+    if time_block is None:
+        from cmcd_tpu.ops.fused import _vmem_estimate, choose_time_block
+
+        est = _vmem_estimate(setup, target, block)
+        time_block = choose_time_block(setup.nbridges, dim, block, 3, est)
 
     def _run_forward(theta, z0, seed, noise):
         z_final, w_delta, ztraj, rtraj, noise_t = evolve_uha_pallas(
@@ -574,6 +584,7 @@ def _make_evolve_kl_uha(setup, target, n_chains, block, interpret):
             block=block,
             noise=noise,
             return_state_t=True,
+            time_block=time_block,
             interpret=interpret,
         )
         return w_delta, z_final, ztraj, rtraj, noise_t
@@ -610,6 +621,7 @@ def _make_evolve_kl_uha(setup, target, n_chains, block, interpret):
             n_chains=n_chains,
             lfsteps=setup.lfsteps,
             block=block,
+            time_block=time_block,
             interpret=interpret,
         )
         g_theta = {
@@ -630,7 +642,8 @@ def _make_evolve_kl_uha(setup, target, n_chains, block, interpret):
 
 
 def _neg_elbos_pallas_kl_uha(
-    params, key, n_chains, ctx, setup, target, *, block, noise, interpret
+    params, key, n_chains, ctx, setup, target, *, block, noise, interpret,
+    time_block=None,
 ):
     p = bounds.merged_params(params)
     dim = setup.dim
@@ -652,7 +665,8 @@ def _neg_elbos_pallas_kl_uha(
         "vd_mean": mean,
         "vd_logdiag": logdiag,
     }
-    evolve = _make_evolve_kl_uha(setup, target, n_chains, block, interpret)
+    evolve = _make_evolve_kl_uha(setup, target, n_chains, block, interpret,
+                                 time_block=time_block)
     w_delta, z_final = evolve(theta, z0, seed, noise)
     w = w0 + w_delta + ctx.target_log_prob(z_final)
     return -w, z_final
@@ -737,6 +751,7 @@ def neg_elbos_pallas_kl(
         return _neg_elbos_pallas_kl_uha(
             params, key, n_chains, ctx, setup, target,
             block=block, noise=noise, interpret=interpret,
+            time_block=time_block,
         )
     if setup.mode in UD_KL_FUSED_MODES:
         return _neg_elbos_pallas_kl_ud(

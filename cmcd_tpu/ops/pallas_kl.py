@@ -1414,6 +1414,7 @@ def evolve_kl_bwd_uha(
     n_chains: int,
     lfsteps: int = 1,
     block: int = 1024,
+    time_block: int | None = None,
     interpret: bool = False,
 ):
     """Reverse-sweep BPTT gradients for UHA (integrators/uha.py).
@@ -1426,11 +1427,27 @@ def evolve_kl_bwd_uha(
     cot: (n_chains,) cotangent of w_delta; g_zfinal: (n_chains, dim)
     cotangent of the final position.
 
+    time_block: TIME-CHUNKED sweep (like the underdamped one) for big-K
+    configs whose whole-(K+1) windows exceed VMEM. Expects the chunked
+    forward's K-row layouts — ztraj/rtraj rows 0..K-1, noise row j the
+    bridge-j refresh draw UNSHIFTED. The md correction still reads rho_0
+    from rtraj row 0, which lives in the final (earliest-time) chunk; no
+    boundary inputs are needed (UHA has no endpoint momentum correction,
+    so the momentum cotangent seeds at zero).
+
     Returns (grads {"eps","eta","md","betas","vd_mean","vd_logdiag"},
     g_z0 (n_chains, dim)).
     """
     n_traj, dim_pad, n_pad = ztraj_t.shape
-    assert n_traj == nbridges + 1
+    if time_block is None or time_block >= nbridges:
+        t_block = nbridges
+        chunked = False
+        assert n_traj == nbridges + 1
+    else:
+        chunked = True
+        t_block = normalize_time_block(nbridges, time_block)
+        assert n_traj == nbridges
+    nt = nbridges // t_block if chunked else 1
     block = _round_up(block, LANE)
     if n_pad % block != 0:
         block = next(
@@ -1529,73 +1546,137 @@ def evolve_kl_bwd_uha(
         idx += len(const_inputs)
         out_theta_refs = refs[idx : idx + n_theta]; idx += n_theta
         gz0_ref = refs[idx]; idx += 1
+        s_gz = s_grho = None
+        if chunked:
+            # Reverse-sweep carries across the sequential time-chunk grid.
+            s_gz = refs[idx]; idx += 1
+            s_grho = refs[idx]; idx += 1
 
         pid = pl.program_id(0)
+        pid_t = pl.program_id(1) if chunked else 0
+        # Chunk t sweeps global bridges j in [lo, lo + t_block), descending.
+        lo = (nt - 1 - pid_t) * t_block
 
         consts = unpack_consts(const_shapes, const_refs)
         theta_vals = tuple(r[:] for r in theta_refs)
         c_row = c_ref[0:1, :]
 
-        def body(t, carry):
-            g_z, g_rho, acc = carry
-            j = nbridges - 1 - t
-            z = ztraj_ref[j]
-            rho_prev = rtraj_ref[j]
-            xi = noise_ref[j + 1]
-            flat_in = list(theta_vals) + [
-                z, rho_prev, xi, j, g_z, g_rho, c_row
-            ]
-            out = jax.core.eval_jaxpr(point_jaxpr.jaxpr, consts, *flat_in)
-            g_theta = tuple(out[:n_theta])
-            g_z, g_rho = out[n_theta], out[n_theta + 1]
-            acc = tuple(a + g for a, g in zip(acc, g_theta))
-            return (g_z, g_rho, acc)
+        if chunked:
+            # Parameter gradients accumulate IN the output refs (zeroed by
+            # the first program; the sequential grid revisits the blocks).
+            @pl.when((pid == 0) & (pid_t == 0))
+            def _zero_outputs():
+                for o_ref in out_theta_refs:
+                    o_ref[:] = jnp.zeros(o_ref.shape, jnp.float32)
 
-        # UHA has no endpoint momentum corrections: the final momentum
-        # cotangent starts at zero.
-        acc0 = tuple(jnp.zeros(t.shape, jnp.float32) for t in theta_vals)
-        g_z0, g_rho0, acc = jax.lax.fori_loop(
-            0, nbridges, body,
-            (gzf_ref[:], jnp.zeros((dim_pad, block), jnp.float32), acc0),
+            # UHA has no endpoint momentum correction: the momentum
+            # cotangent seeds at zero.
+            @pl.when(pid_t == 0)
+            def _init_carries():
+                s_gz[:] = gzf_ref[:]
+                s_grho[:] = jnp.zeros((dim_pad, block), jnp.float32)
+
+            def body(t, carry):
+                g_z, g_rho = carry
+                jl = t_block - 1 - t  # local window row
+                j = lo + jl
+                z = ztraj_ref[jl]
+                rho_prev = rtraj_ref[jl]
+                xi = noise_ref[jl]  # chunked layout: row j holds xi_j
+                flat_in = list(theta_vals) + [
+                    z, rho_prev, xi, j, g_z, g_rho, c_row
+                ]
+                out = jax.core.eval_jaxpr(point_jaxpr.jaxpr, consts, *flat_in)
+                for o_ref, g in zip(out_theta_refs, out[:n_theta]):
+                    o_ref[:] = o_ref[:] + g
+                return (out[n_theta], out[n_theta + 1])
+
+            g_z0, g_rho0 = jax.lax.fori_loop(
+                0, t_block, body, (s_gz[:], s_grho[:])
+            )
+            s_gz[:] = g_z0
+            s_grho[:] = g_rho0
+
+            @pl.when(pid_t == nt - 1)
+            def _final():
+                gz0_ref[:] = g_z0
+                # rho_0 = e^{md} * xi_0 is theta-dependent: d rho_0 / d md
+                # = rho_0 elementwise, so the md gradient picks up
+                # sum_n g_rho0 * rho_0 (rtraj row 0 of this earliest-time
+                # window IS rho_0).
+                md_ref = out_theta_refs[2]
+                md_ref[:] = md_ref[:] + jnp.sum(
+                    g_rho0 * rtraj_ref[0], axis=1, keepdims=True
+                )
+        else:
+            def body(t, carry):
+                g_z, g_rho, acc = carry
+                j = nbridges - 1 - t
+                z = ztraj_ref[j]
+                rho_prev = rtraj_ref[j]
+                xi = noise_ref[j + 1]
+                flat_in = list(theta_vals) + [
+                    z, rho_prev, xi, j, g_z, g_rho, c_row
+                ]
+                out = jax.core.eval_jaxpr(point_jaxpr.jaxpr, consts, *flat_in)
+                g_theta = tuple(out[:n_theta])
+                g_z, g_rho = out[n_theta], out[n_theta + 1]
+                acc = tuple(a + g for a, g in zip(acc, g_theta))
+                return (g_z, g_rho, acc)
+
+            # UHA has no endpoint momentum corrections: the final momentum
+            # cotangent starts at zero.
+            acc0 = tuple(jnp.zeros(t.shape, jnp.float32) for t in theta_vals)
+            g_z0, g_rho0, acc = jax.lax.fori_loop(
+                0, nbridges, body,
+                (gzf_ref[:], jnp.zeros((dim_pad, block), jnp.float32), acc0),
+            )
+            gz0_ref[:] = g_z0
+
+            # rho_0 = e^{md} * xi_0 is theta-dependent: d rho_0 / d md =
+            # rho_0 elementwise, so the md gradient picks up
+            # sum_n g_rho0 * rho_0.
+            acc = list(acc)
+            acc[2] = acc[2] + jnp.sum(
+                g_rho0 * rtraj_ref[0], axis=1, keepdims=True
+            )
+
+            first = pid == 0
+            for o_ref, g in zip(out_theta_refs, acc):
+                @pl.when(first)
+                def _init(o_ref=o_ref, g=g):
+                    o_ref[:] = g
+
+                @pl.when(jnp.logical_not(first))
+                def _acc(o_ref=o_ref, g=g):
+                    o_ref[:] = o_ref[:] + g
+
+    if chunked:
+        traj_spec = pl.BlockSpec(
+            (t_block, dim_pad, block),
+            lambda i, t: (nt - 1 - t, 0, i),
+            memory_space=pltpu.VMEM,
         )
-        gz0_ref[:] = g_z0
-
-        # rho_0 = e^{md} * xi_0 is theta-dependent: d rho_0 / d md = rho_0
-        # elementwise, so the md gradient picks up sum_n g_rho0 * rho_0.
-        acc = list(acc)
-        acc[2] = acc[2] + jnp.sum(
-            g_rho0 * rtraj_ref[0], axis=1, keepdims=True
+    else:
+        traj_spec = pl.BlockSpec(
+            (nbridges + 1, dim_pad, block),
+            lambda i, t=0: (0, 0, i),
+            memory_space=pltpu.VMEM,
         )
-
-        first = pid == 0
-        for o_ref, g in zip(out_theta_refs, acc):
-            @pl.when(first)
-            def _init(o_ref=o_ref, g=g):
-                o_ref[:] = g
-
-            @pl.when(jnp.logical_not(first))
-            def _acc(o_ref=o_ref, g=g):
-                o_ref[:] = o_ref[:] + g
-
-    traj_spec = pl.BlockSpec(
-        (nbridges + 1, dim_pad, block),
-        lambda i: (0, 0, i),
-        memory_space=pltpu.VMEM,
-    )
     in_specs = [
         traj_spec,
         traj_spec,
         traj_spec,
-        pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, block), lambda i, t=0: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec(
-            (dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM
+            (dim_pad, block), lambda i, t=0: (0, i), memory_space=pltpu.VMEM
         ),
     ]
     inputs = [ztraj_t, rtraj_t, noise_t, cot_rows, gzf_t]
     for t in theta:
         in_specs.append(
             pl.BlockSpec(
-                t.shape, lambda i, nd=t.ndim: (0,) * nd,
+                t.shape, lambda i, t=0, nd=t.ndim: (0,) * nd,
                 memory_space=pltpu.VMEM,
             )
         )
@@ -1603,7 +1684,7 @@ def evolve_kl_bwd_uha(
     for c in const_inputs:
         in_specs.append(
             pl.BlockSpec(
-                c.shape, lambda i, nd=c.ndim: (0,) * nd,
+                c.shape, lambda i, t=0, nd=c.ndim: (0,) * nd,
                 memory_space=pltpu.VMEM,
             )
         )
@@ -1611,26 +1692,34 @@ def evolve_kl_bwd_uha(
 
     out_specs = [
         pl.BlockSpec(
-            t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM
+            t.shape, lambda i, t=0, nd=t.ndim: (0,) * nd,
+            memory_space=pltpu.VMEM,
         )
         for t in theta
     ]
     out_shape = [jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta]
     out_specs.append(
         pl.BlockSpec(
-            (dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM
+            (dim_pad, block), lambda i, t=0: (0, i), memory_space=pltpu.VMEM
         )
     )
     out_shape.append(jax.ShapeDtypeStruct((dim_pad, n_pad), jnp.float32))
+    scratch_shapes = []
+    if chunked:
+        scratch_shapes = [
+            pltpu.VMEM((dim_pad, block), jnp.float32),  # g_z carry
+            pltpu.VMEM((dim_pad, block), jnp.float32),  # g_rho carry
+        ]
 
     kwargs = vmem_limit_params(inputs, out_shape, interpret=interpret)
 
     outs = pl.pallas_call(
         kernel,
-        grid=(nchunks,),
+        grid=(nchunks, nt) if chunked else (nchunks,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
         **kwargs,
     )(*inputs)

@@ -21,7 +21,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cmcd_tpu.ops.kernel_common import vmem_limit_params
+from cmcd_tpu.ops.kernel_common import (
+    normalize_time_block,
+    vmem_limit_params,
+)
 from cmcd_tpu.ops.pallas_overdamped import LANE, _box_muller, _round_up
 
 
@@ -42,6 +45,7 @@ def evolve_uha_pallas(
     block: int = 512,
     noise: Optional[jnp.ndarray] = None,
     return_state_t: bool = False,
+    time_block: Optional[int] = None,
     interpret: bool = False,
 ):
     """Run nbridges UHA bridges fused on-core. z0: (N, dim).
@@ -55,6 +59,15 @@ def evolve_uha_pallas(
     BEFORE bridge j (entry K final); noise index 0 the initial momentum BASE
     draw, i + 1 the bridge-i refresh. Residuals for the UHA BPTT
     reverse-sweep backward (ops/pallas_kl.py).
+
+    time_block (with return_state_t): TIME-CHUNK the stored windows like the
+    underdamped rollout — a (nblocks, nt) grid with (z, rho, w) carried in
+    VMEM scratch. Chunked layouts hold K rows: z/rho trajectories rows
+    0..K-1 (state BEFORE bridge j; the final state exits via out_z only —
+    UHA has no endpoint momentum correction, so the backward never needs
+    rho_K), and the noise stack holds the bridge-j refresh draw UNSHIFTED
+    at row j (the initial BASE draw is not stored: the backward's md
+    correction reads rho_0 = e^{md} xi_0 from rtraj row 0 directly).
     """
     n, d = z0.shape
     assert d == dim
@@ -62,6 +75,16 @@ def evolve_uha_pallas(
     block = _round_up(block, LANE)
     n_pad = _round_up(n, block)
     nblocks = n_pad // block
+
+    chunked = bool(
+        return_state_t and time_block is not None and time_block < nbridges
+    )
+    if chunked:
+        t_block = normalize_time_block(nbridges, time_block)
+        nt = nbridges // t_block
+    else:
+        t_block = nbridges
+        nt = 1
 
     z0_t = jnp.zeros((dim_pad, n_pad), jnp.float32).at[:dim, :n].set(z0.T)
     mean_t = jnp.zeros((dim_pad, 1), jnp.float32).at[:dim, 0].set(vd_mean)
@@ -86,11 +109,25 @@ def evolve_uha_pallas(
 
     inject_noise = noise is not None
     if inject_noise:
-        noise_t = (
-            jnp.zeros((nbridges + 1, dim_pad, n_pad), jnp.float32)
-            .at[:, :dim, :n]
-            .set(jnp.swapaxes(noise, 1, 2))
-        )
+        if chunked:
+            # Chunked layout: row j = bridge-j refresh draw; the initial
+            # BASE draw enters as its own (dim_pad, n_pad) input.
+            noise_t = (
+                jnp.zeros((nbridges, dim_pad, n_pad), jnp.float32)
+                .at[:, :dim, :n]
+                .set(jnp.swapaxes(noise[1:], 1, 2))
+            )
+            base0_t = (
+                jnp.zeros((dim_pad, n_pad), jnp.float32)
+                .at[:dim, :n]
+                .set(noise[0].T)
+            )
+        else:
+            noise_t = (
+                jnp.zeros((nbridges + 1, dim_pad, n_pad), jnp.float32)
+                .at[:, :dim, :n]
+                .set(jnp.swapaxes(noise, 1, 2))
+            )
 
     def grad_u_t(z, beta):
         gt = grad_logp_t(z)
@@ -162,9 +199,11 @@ def evolve_uha_pallas(
         seed_ref = refs[idx]; idx += 1
         z_ref = refs[idx]; idx += 1
         expmd_ref = refs[idx]; idx += 1
-        noise_ref = None
+        noise_ref = base0_ref = None
         if inject_noise:
             noise_ref = refs[idx]; idx += 1
+            if chunked:
+                base0_ref = refs[idx]; idx += 1
         const_refs = refs[idx : idx + len(const_inputs)]
         idx += len(const_inputs)
         out_z_ref = refs[idx]; idx += 1
@@ -174,13 +213,22 @@ def evolve_uha_pallas(
             ztraj_ref = refs[idx]; idx += 1
             rtraj_ref = refs[idx]; idx += 1
             nout_ref = refs[idx]; idx += 1
+        if chunked:
+            # Chain-state carries across the sequential time-chunk grid.
+            s_z = refs[idx]; idx += 1
+            s_rho = refs[idx]; idx += 1
+            s_w = refs[idx]; idx += 1
 
         eps0 = scal_ref[0, 0]
         eta0 = scal_ref[0, 1]
 
         pid = pl.program_id(0)
+        pid_t = pl.program_id(1) if chunked else 0
+        lo = pid_t * t_block
         if not inject_noise:
-            pltpu.prng_seed(seed_ref[0, 0] + pid)
+            # Distinct stream per (chain-block, time-chunk) program (with
+            # nt=1 this is the original seed + pid assignment).
+            pltpu.prng_seed(seed_ref[0, 0] + pid * nt + pid_t)
 
         consts = []
         for (kind, shape), ref in zip(const_shapes, const_refs):
@@ -194,83 +242,137 @@ def evolve_uha_pallas(
         row_mask_k = (
             jax.lax.broadcasted_iota(jnp.int32, (dim_pad, 1), 0) < dim
         ).astype(jnp.float32)
-        z = z_ref[:]
-        if inject_noise:
-            base0 = noise_ref[0]
-        else:
-            base0 = _box_muller((dim_pad, block)) * row_mask_k
-        rho = expmd_ref[:] * base0
-        w = z[0:1, :] * 0.0
-        if return_state_t:
-            nout_ref[0] = base0
 
-        def body(i, carry):
+        def init_state():
+            z0_v = z_ref[:]
+            if inject_noise:
+                base0 = base0_ref[:] if chunked else noise_ref[0]
+            else:
+                base0 = _box_muller((dim_pad, block)) * row_mask_k
+            rho0 = expmd_ref[:] * base0
+            w0 = z0_v[0:1, :] * 0.0
+            return z0_v, rho0, w0, base0
+
+        if chunked:
+            @pl.when(pid_t == 0)
+            def _init_carry():
+                z0_v, rho0, w0, _ = init_state()
+                s_z[:] = z0_v
+                s_rho[:] = rho0
+                s_w[:] = jnp.broadcast_to(w0, (8, block))
+
+            z, rho, w = s_z[:], s_rho[:], s_w[0:1, :]
+        else:
+            z, rho, w, base0 = init_state()
+            if return_state_t:
+                nout_ref[0] = base0
+
+        def body(il, carry):
             z, rho, w = carry
+            i = lo + il if chunked else il
             beta = betas_ref[0, i]
             if inject_noise:
-                xi = noise_ref[i + 1]
+                xi = noise_ref[il if chunked else i + 1]
             else:
                 xi = _box_muller((dim_pad, block)) * row_mask_k
             if return_state_t:
-                ztraj_ref[i] = z
-                rtraj_ref[i] = rho
-                nout_ref[i + 1] = xi
+                ztraj_ref[il] = z
+                rtraj_ref[il] = rho
+                nout_ref[il if chunked else i + 1] = xi
             return step_conv(z, rho, w, xi, i, beta, eps0, eta0, *consts)
 
-        z, rho, w = jax.lax.fori_loop(0, nbridges, body, (z, rho, w))
-        if return_state_t:
-            ztraj_ref[nbridges] = z
-            rtraj_ref[nbridges] = rho
-        out_z_ref[:] = z
-        out_w_ref[:] = jnp.broadcast_to(w, (8, block))
+        z, rho, w = jax.lax.fori_loop(0, t_block, body, (z, rho, w))
+
+        if chunked:
+            s_z[:] = z
+            s_rho[:] = rho
+            s_w[:] = jnp.broadcast_to(w, (8, block))
+
+            @pl.when(pid_t == nt - 1)
+            def _emit():
+                out_z_ref[:] = z
+                out_w_ref[:] = jnp.broadcast_to(w, (8, block))
+        else:
+            if return_state_t:
+                ztraj_ref[nbridges] = z
+                rtraj_ref[nbridges] = rho
+            out_z_ref[:] = z
+            out_w_ref[:] = jnp.broadcast_to(w, (8, block))
 
     in_specs = [
-        pl.BlockSpec((1, nbridges), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((dim_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nbridges), lambda i, t=0: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 2), lambda i, t=0: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda i, t=0: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((dim_pad, block), lambda i, t=0: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((dim_pad, 1), lambda i, t=0: (0, 0), memory_space=pltpu.VMEM),
     ]
     inputs = [betas_smem, scalars, seed_arr, z0_t, exp_md_in]
     if inject_noise:
-        in_specs.append(
-            pl.BlockSpec(
-                (nbridges + 1, dim_pad, block),
-                lambda i: (0, 0, i),
-                memory_space=pltpu.VMEM,
+        if chunked:
+            in_specs.append(
+                pl.BlockSpec(
+                    (t_block, dim_pad, block),
+                    lambda i, t: (t, 0, i),
+                    memory_space=pltpu.VMEM,
+                )
             )
-        )
-        inputs.append(noise_t)
+            inputs.append(noise_t)
+            in_specs.append(
+                pl.BlockSpec(
+                    (dim_pad, block), lambda i, t: (0, i),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            inputs.append(base0_t)
+        else:
+            in_specs.append(
+                pl.BlockSpec(
+                    (nbridges + 1, dim_pad, block),
+                    lambda i, t=0: (0, 0, i),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            inputs.append(noise_t)
     for c in const_inputs:
         in_specs.append(
             pl.BlockSpec(
-                c.shape, lambda i, nd=c.ndim: (0,) * nd, memory_space=pltpu.VMEM
+                c.shape, lambda i, t=0, nd=c.ndim: (0,) * nd,
+                memory_space=pltpu.VMEM,
             )
         )
         inputs.append(c)
 
     out_specs = [
-        pl.BlockSpec((dim_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((dim_pad, block), lambda i, t=0: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, block), lambda i, t=0: (0, i), memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((dim_pad, n_pad), jnp.float32),
         jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
     ]
     if return_state_t:
+        traj_rows = nbridges if chunked else nbridges + 1
         for _ in range(3):
             out_specs.append(
                 pl.BlockSpec(
-                    (nbridges + 1, dim_pad, block),
-                    lambda i: (0, 0, i),
+                    (t_block if chunked else traj_rows, dim_pad, block),
+                    (lambda i, t: (t, 0, i)) if chunked
+                    else (lambda i, t=0: (0, 0, i)),
                     memory_space=pltpu.VMEM,
                 )
             )
             out_shape.append(
                 jax.ShapeDtypeStruct(
-                    (nbridges + 1, dim_pad, n_pad), jnp.float32
+                    (traj_rows, dim_pad, n_pad), jnp.float32
                 )
             )
+    scratch_shapes = []
+    if chunked:
+        scratch_shapes = [
+            pltpu.VMEM((dim_pad, block), jnp.float32),  # z
+            pltpu.VMEM((dim_pad, block), jnp.float32),  # rho
+            pltpu.VMEM((8, block), jnp.float32),        # w
+        ]
 
     kwargs = vmem_limit_params(
         inputs, out_shape, extra_bytes=10 * dim_pad * block * 4,
@@ -279,10 +381,11 @@ def evolve_uha_pallas(
 
     outs = pl.pallas_call(
         kernel,
-        grid=(nblocks,),
+        grid=(nblocks, nt) if chunked else (nblocks,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=(
             pltpu.InterpretParams() if (interpret and not inject_noise) else interpret
         ),

@@ -278,8 +278,20 @@ def test_pallas_kl_underdamped_grad_matches_scan(mode, time_block):
     )
 
 
-@pytest.mark.parametrize("lfsteps", [1, 2])
-def test_pallas_kl_uha_grad_matches_scan(lfsteps):
+@pytest.mark.parametrize(
+    "lfsteps,time_block",
+    [
+        (1, None),
+        (2, None),
+        # Time-chunked sweep: zero-seeded momentum cotangent carried in
+        # scratch; the trainable-md initial draw's correction applied at
+        # the earliest-time chunk from rtraj row 0.
+        (1, 2),
+        (2, 2),
+        (1, 3),  # 4 % 3 != 0 -> normalizes to 2
+    ],
+)
+def test_pallas_kl_uha_grad_matches_scan(lfsteps, time_block):
     from cmcd_tpu.integrators import uha
 
     n, nb = 96, 4
@@ -310,6 +322,7 @@ def test_pallas_kl_uha_grad_matches_scan(lfsteps):
         return kl_bound_pallas(
             {"train": train, "notrain": params["notrain"]}, key, n, ctx,
             setup, target, block=128, noise=noise, interpret=True,
+            time_block=time_block,
         )[0]
 
     l1, g1 = jax.value_and_grad(scan_loss)(params["train"])
@@ -412,9 +425,9 @@ def test_fused_train_gate_trajectory_windows():
     """The OVERDAMPED KL backward time-chunks its trajectory windows
     (choose_time_block), so large (K+1) x dim_pad stacks no longer reject
     to scan — nice K=256 (the config that OOM'd the un-chunked sweep by
-    1.75 MiB on v5e) is admitted. The underdamped-family sweep now
-    time-chunks too (3 stored stacks); only UHA is still single-window
-    and stays gated."""
+    1.75 MiB on v5e) is admitted. The underdamped-family and UHA sweeps
+    time-chunk too (3 stored stacks), so every KL mode passes the window
+    gate at any nbridges."""
     from cmcd_tpu.ops.fused import choose_time_block, supports_fused_train
 
     nice = cmcd_tpu.load_target("nice")
@@ -435,14 +448,13 @@ def test_fused_train_gate_trajectory_windows():
     # Small configs stay on the single-window sweep (measured fastest).
     assert choose_time_block(8, sonar.dim, 1024, 2) is None
 
-    # Underdamped family: the time-chunked sweep bounds the 3-stack
-    # windows, so the 196-D K=256 config (rejected when single-window)
-    # is now admitted.
+    # Underdamped family and UHA: the time-chunked sweeps bound the
+    # 3-stack windows, so the 196-D K=256 configs (rejected when
+    # single-window) are now admitted.
     assert supports_fused_train(
         mk(256, nice.dim, mode="MCD_U_a-lp-sn"), nice, n_chains=300
     )
-    # UHA keeps the whole-(K+1)-window sweep and stays gated at that size.
-    assert not supports_fused_train(
+    assert supports_fused_train(
         mk(256, nice.dim, mode="UHA"), nice, n_chains=300
     )
 
