@@ -297,8 +297,15 @@ def supports_fused_train(setup: bounds.CMCDSetup, target,
         # (hardware calibration, v5e: nice K=256 dim_pad 200, block 128:
         # 100.4 MiB whole windows + 17.2 MiB spills + misc exceeded
         # 128 MiB by 1.75 MiB before the sweeps were chunked).
-        if setup.mode in KL_FUSED_MODES and setup.mode not in _PALLAS_SPECS:
-            n_arrays = 3
+        # Overdamped stores (traj, noise) = 2 stacks; underdamped/UHA add
+        # momentum = 3. Hardware check (overdamped nice K=256, t_block=64,
+        # 26 MB of windows): no VMEM overflow, 40.2 ms/step vs 57.7 ms
+        # scan over the full 60k-iteration recipe, identical final
+        # ELBO/lnZ — this 196-D flow target is matmul-dominated either
+        # way, so the fused win there is 1.4x, not the small-dim kernels'
+        # 8-10x.
+        if setup.mode in KL_FUSED_MODES:
+            n_arrays = 2 if setup.mode in _PALLAS_SPECS else 3
             blk = choose_block(
                 setup.dim,
                 n_chains if n_chains is not None else 1 << 30,
@@ -310,26 +317,6 @@ def supports_fused_train(setup: bounds.CMCDSetup, target,
             )
             rows_eff = (setup.nbridges + 1) if tb is None else tb
             win = 2 * n_arrays * rows_eff * _dim_pad(setup.dim) * blk * 4
-            if win + est + 24 * 1024 * 1024 >= 128 * 1024 * 1024:
-                return False
-        elif setup.mode in KL_FUSED_MODES:
-            # Overdamped: BOTH the rollout and the reverse sweep time-chunk
-            # their trajectory windows (choose_time_block), so the windowed
-            # footprint is bounded; gate on the effective chunked window.
-            # Hardware check (nice K=256, t_block=64, 26 MB of windows):
-            # no VMEM overflow, 40.2 ms/step vs 57.7 ms scan over the full
-            # 60k-iteration recipe, identical final ELBO/lnZ — this
-            # 196-D flow target is matmul-dominated either way, so the
-            # fused win here is 1.4x, not the small-dim kernels' 8-10x.
-            blk = choose_block(
-                setup.dim,
-                n_chains if n_chains is not None else 1 << 30,
-                traj_arrays=2,
-                nbridges=setup.nbridges,
-            )
-            tb = choose_time_block(setup.nbridges, setup.dim, blk, 2, est)
-            rows_eff = (setup.nbridges + 1) if tb is None else tb
-            win = 2 * 2 * rows_eff * _dim_pad(setup.dim) * blk * 4
             if win + est + 24 * 1024 * 1024 >= 128 * 1024 * 1024:
                 return False
         return est < _VMEM_TRAIN_BUDGET

@@ -236,7 +236,10 @@ def scan_kl_loss_fn_ud(params, ctx, key, n, noise, spec):
 def test_pallas_kl_underdamped_grad_matches_scan(mode, time_block):
     from cmcd_tpu.ops.fused import _PALLAS_UD_SPECS
 
-    n, nb = 96, 4
+    # n > block for the chunked cases: two chain blocks exercise the
+    # chunked sweep's cross-block theta-grad accumulation.
+    n = 96 if time_block is None else 256
+    nb = 4
     target = cmcd_tpu.load_target("many_gmm")
     setup = bounds.CMCDSetup(
         mode=mode, dim=target.dim, nbridges=nb, emb_dim=16,
@@ -294,7 +297,11 @@ def test_pallas_kl_underdamped_grad_matches_scan(mode, time_block):
 def test_pallas_kl_uha_grad_matches_scan(lfsteps, time_block):
     from cmcd_tpu.integrators import uha
 
-    n, nb = 96, 4
+    # n > block for the chunked cases: two chain blocks exercise the
+    # chunked sweep's cross-block theta-grad accumulation (zero only at
+    # the FIRST program; per-block carry re-init at pid_t == 0).
+    n = 96 if time_block is None else 256
+    nb = 4
     target = cmcd_tpu.load_target("gmm")
     setup = bounds.CMCDSetup(
         mode="UHA", dim=target.dim, nbridges=nb, lfsteps=lfsteps,
