@@ -88,3 +88,29 @@ def test_run_experiment_ema_w2(tmp_path):
     import math
 
     assert math.isfinite(results["w2_dist_ema"])
+
+
+def test_recipes_flags_are_valid_config_fields():
+    """Every named recipe (experiments/recipes.py) must apply cleanly to a
+    fresh ConfigDict: a typo'd flag name fails here rather than at run
+    time, and the reference-recipe boundmode/model names must resolve."""
+    from experiments.recipes import RECIPES
+    import cmcd_tpu
+    from cmcd_tpu import bounds
+
+    valid_modes = {
+        "MCD_ULA", "MCD_ULA_sn", "MCD_CAIS_sn", "MCD_CAIS_var_sn",
+        "MCD_DNF", "UHA", "MCD_U_a-lp", "MCD_U_a-lp-sna", "MCD_U_a-lp-sn",
+        "MCD_U_e-lp", "MCD_U_e-lp-sna", "MCD_U_ea-lp-sn", "MCD_CAIS_UHA_sn",
+    }
+    assert RECIPES, "recipe table must not be empty"
+    for name, spec in RECIPES.items():
+        config = get_config()
+        for k, v in spec["flags"].items():
+            assert hasattr(config, k), f"{name}: unknown config flag {k!r}"
+            setattr(config, k, v)
+        assert config.boundmode in valid_modes, (name, config.boundmode)
+        # model must be loadable under this config (cheap for everything
+        # but nice/lgcp, which load committed artifacts/data).
+        target = cmcd_tpu.load_target(config.model, config=config)
+        assert target.dim > 0
