@@ -27,8 +27,22 @@ from cmcd_tpu import bounds
 
 @jax.jit
 def _finite_check(losses, tree):
-    """One fused device reduction: every loss AND every param leaf finite."""
-    ok = jnp.isfinite(losses).all()
+    """One fused device reduction: no loss is NaN AND every param leaf is
+    finite.
+
+    Losses check isNAN, not isfinite, to match the reference's divergence
+    guard (src/opt.py:122: `if jnp.isnan(jnp.mean(loss))`): targets with a
+    hard log-prob floor (many_gmm maps lp <= -1e4 to -inf,
+    src/model_handler.py:277-281) make the LOSS VALUE +-inf whenever any
+    chain sits in the floored region, while its GRADIENT stays finite (the
+    -inf branch is constant, so jnp.where routes zero cotangent through
+    it). The reference's published many_gmm KL recipes (README.md:26,38 —
+    init_sigma 60, eps 1.0) start with ~3-5% of chains floored and train
+    straight through the inf loss; aborting on inf would kill them at step
+    0. Params still check full isfinite — a non-finite leaf means the
+    update itself blew up, which the reference would catch one step later
+    as a NaN loss."""
+    ok = ~jnp.isnan(losses).any()
     for x in jax.tree_util.tree_leaves(tree):
         ok &= jnp.isfinite(x).all()
     return ok

@@ -62,6 +62,37 @@ def test_train_improves_elbo_and_projects():
     assert 1e-7 <= eps <= 0.5
 
 
+def test_inf_loss_trains_through_like_reference():
+    """The divergence guard checks isNAN, not isfinite, on the losses
+    (reference src/opt.py:122): targets with a hard log-prob floor
+    (many_gmm lp <= -1e4 -> -inf) make the loss VALUE inf while its
+    gradient stays finite, and the reference's published many_gmm KL
+    recipes train straight through that. An inf loss must NOT abort."""
+    target = shifted_normal_target(dim=2)
+
+    def inf_loss(params, key, n, ctx, setup):
+        # Finite theta-dependent part + a constant -inf floor on most
+        # chains: loss value inf, gradient finite (jnp.mean routes zero
+        # cotangent through the inf constants).
+        finite = jnp.sum(params["train"]["eps"] ** 2)
+        neg = jnp.full((n,), jnp.inf).at[0].set(finite)
+        return jnp.mean(neg), (neg, jnp.zeros((n, 2)))
+
+    setup = bounds.CMCDSetup(mode="MCD_ULA", dim=2, nbridges=2)
+    params, ctx = bounds.initialize(setup, target.log_prob, eps=0.3,
+                                    trainable=("eps",))
+    result = train(
+        setup, params, ctx,
+        lr=1e-2, iters=20, batch_size=8,
+        key=jax.random.PRNGKey(0), trainable=("eps",),
+        loss_fn=inf_loss, nan_check_every=1,
+    )
+    assert not result.diverged
+    assert result.steps_done == 20
+    # The finite gradient actually moved eps (d/d eps of eps^2 > 0).
+    assert float(result.params["train"]["eps"]) < 0.3
+
+
 def test_nan_guard_stops_and_returns_last_finite():
     target = shifted_normal_target(dim=2)
 
