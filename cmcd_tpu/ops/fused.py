@@ -200,11 +200,16 @@ def choose_block(dim: int, n_chains: int, *, traj_arrays: int = 0,
     per-step residuals (traj_arrays = stored (K+1, dim_pad, n_pad) arrays:
     1 for the VarGrad replay, 2 for overdamped KL, 3 for underdamped/UHA),
     shrinks the block until one block's residual slice fits a ~48 MB VMEM
-    share. The KL reverse sweep reads whole (K+1)-step windows per program
-    and the Mosaic pipeline DOUBLE-BUFFERS them, so the physical cost is
-    2x the slice (measured on v5e: sonar K=256 dim_pad 64 at block 1024:
-    2 x 67 MB residuals -> 131.6 MB > 128 MB; nice K=256 dim_pad 200 at
-    block 128: 2 x 50.2 MB windows + 17.2 MB spills -> over by 1.75 MB)."""
+    share. The SINGLE-WINDOW KL reverse sweep (time_block=None, the
+    measured-fastest configuration when windows fit) reads whole
+    (K+1)-step windows per program and the Mosaic pipeline DOUBLE-BUFFERS
+    them, so the physical cost is 2x the slice (measured on v5e: sonar
+    K=256 dim_pad 64 at block 1024: 2 x 67 MB residuals -> 131.6 MB >
+    128 MB; nice K=256 dim_pad 200 at block 128: 2 x 50.2 MB windows +
+    17.2 MB spills -> over by 1.75 MB). Time-chunked sweeps
+    (choose_time_block) bound their windows independently of this cap —
+    for them this rule is conservative, keeping whole-trajectory
+    residuals small enough to stay on-chip between kernels at small K."""
     lane = 128
     block = default_block(dim)
     block = min(block, -(-n_chains // lane) * lane)
