@@ -132,7 +132,13 @@ def run_experiment(config, logger: MetricLogger | None = None):
         # Recommended = supported at this batch size AND measured faster
         # than the XLA scan (large-net split-sweep targets fall back to the
         # scan below its N~100 crossover; see fused_train_recommended).
-        if fused_train_recommended(setup, target, int(config.N),
+        # Under a mesh the kernels run on the PER-DEVICE chain shard
+        # (shard_map), so the VMEM caps and the fused/scan crossover must
+        # be judged against chains-per-device, not global N.
+        n_gate = int(config.N) // (
+            jax.device_count() if mesh is not None else 1
+        )
+        if fused_train_recommended(setup, target, n_gate,
                                    bf16_net=bf16_net):
             if mode == "MCD_CAIS_var_sn":
                 if mesh is not None:

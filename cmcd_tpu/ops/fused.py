@@ -81,11 +81,16 @@ def _leaf_bytes(tree) -> int:
     return total
 
 
-def _packed_sn_bytes(setup: bounds.CMCDSetup) -> int:
+def _packed_sn_bytes(setup: bounds.CMCDSetup, bf16: bool = False) -> int:
     """Exact bytes of the arch's packed kernel weights, computed via
     jax.eval_shape of the same init + pack functions the fused paths use
     (no arrays are materialized). Replaces the round-2 geffner-only formula
-    that mis-sized PIS ("dds"/"dds_grad") configurations."""
+    that mis-sized PIS ("dds"/"dds_grad") configurations.
+
+    bf16=True sizes the bf16-STORAGE variant with the SAME per-tensor cast
+    predicate the split sweep applies (kernel_common.bf16_storage_leaf):
+    only qualifying matrices halve; sub-threshold tensors keep full bytes.
+    """
     if setup.mode in _SN_FREE_MODES:
         return 0
     from cmcd_tpu import integrators
@@ -114,7 +119,17 @@ def _packed_sn_bytes(setup: bounds.CMCDSetup) -> int:
             lambda p: _pack_net(setup.nn_arch)(p, setup.dim, dim_pad)[0],
             params,
         )
-        return _leaf_bytes(weights)
+        if not bf16:
+            return _leaf_bytes(weights)
+        from cmcd_tpu.ops.kernel_common import bf16_storage_leaf
+
+        total = 0
+        for leaf in jax.tree_util.tree_leaves(weights):
+            itemsize = 2 if bf16_storage_leaf(leaf) else (
+                jnp.dtype(leaf.dtype).itemsize
+            )
+            total += int(leaf.size) * itemsize
+        return total
 
     total = sized(rho_dim)
     if setup.mode == "MCD_DNF":  # second backward net (rho-free)
@@ -334,7 +349,9 @@ def supports_fused_train(setup: bounds.CMCDSetup, target,
         # packed) measured at 133.6 MB -> rejected; bf16 storage halves the
         # weight term and fits.
         sn_eff = (
-            sn_b // 2 if (bf16_net and setup.nn_arch == "geffner") else sn_b
+            _packed_sn_bytes(setup, bf16=True)
+            if (bf16_net and setup.nn_arch == "geffner")
+            else sn_b
         )
         block = choose_block(
             setup.dim, 128, traj_arrays=2, nbridges=setup.nbridges
@@ -401,7 +418,9 @@ def fused_train_recommended(setup: bounds.CMCDSetup, target, n_chains: int,
         )
         est = _vmem_estimate(setup, target, blk)
         sn_eff = (
-            sn_b // 2 if (bf16_net and setup.nn_arch == "geffner") else sn_b
+            _packed_sn_bytes(setup, bf16=True)
+            if (bf16_net and setup.nn_arch == "geffner")
+            else sn_b
         )
         if choose_time_block(
             setup.nbridges, setup.dim, blk, 2, est - sn_b + sn_eff

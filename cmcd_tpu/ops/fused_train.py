@@ -289,7 +289,11 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec,
 
         est = _vmem_estimate(setup, target, block)
         if bf16_net:
-            est -= _packed_sn_bytes(setup) // 2
+            # Shrink by the bytes the per-tensor cast predicate actually
+            # saves (kernel_common.bf16_storage_leaf), not a blanket half.
+            est -= _packed_sn_bytes(setup) - _packed_sn_bytes(
+                setup, bf16=True
+            )
         time_block = choose_time_block(setup.nbridges, dim, block, 2, est)
 
     def _pack(theta):

@@ -15,6 +15,17 @@ import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 
 
+def bf16_storage_leaf(t) -> bool:
+    """Per-tensor predicate for bf16 weight STORAGE in the split reverse
+    sweep (pallas_kl net_grads_outside): only matrices large enough to
+    matter are cast; biases, small embeddings, and scalars stay f32. The
+    VMEM gates in ops/fused size sn_eff with this SAME predicate so the
+    estimate and the kernel cannot drift (a gate that assumed all bytes
+    halve was optimistic for nets with substantial sub-threshold tensors).
+    Works on both concrete arrays and jax.eval_shape ShapeDtypeStructs."""
+    return getattr(t, "ndim", 0) >= 2 and getattr(t, "size", 0) > 4096
+
+
 def normalize_time_block(nbridges: int, time_block: int) -> int:
     """Largest divisor of nbridges that is <= max(1, time_block).
 

@@ -353,9 +353,10 @@ def evolve_kl_bwd_pallas(
                 th, z, i, dim, emb_dim, in_dim, sn_nbridges, n_layers,
             )
 
+        from cmcd_tpu.ops.kernel_common import bf16_storage_leaf
+
         cast_sn = tuple(
-            t.astype(net_compute_dtype) if t.ndim >= 2 and t.size > 4096
-            else t
+            t.astype(net_compute_dtype) if bf16_storage_leaf(t) else t
             for t in sn_theta
         )
         theta = theta[:4] + cast_sn
