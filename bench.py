@@ -295,8 +295,8 @@ def bench_fused_eval(n, nbridges, emb_dim, iters, repeats,
     return t / calls_per_dispatch, [g / calls_per_dispatch for g in groups]
 
 
-def _backend_alive(timeout_s: int = 180, attempts: int = 2,
-                   retry_sleep_s: int = 120) -> bool:
+def _backend_alive(timeout_s: int = 180, attempts: int = 4,
+                   retry_sleep_s: int = 150) -> bool:
     """Fail fast when the axon TPU relay is down. jax.devices() dials the
     relay's local port and, when nothing listens, blocks FOREVER with no
     error — a hung bench run looks like a crash to the driver. Probe in a
@@ -304,8 +304,10 @@ def _backend_alive(timeout_s: int = 180, attempts: int = 2,
     relay yields an honest one-line diagnostic instead of a hang.
 
     The relay can also WEDGE transiently (~2-5 min after a killed
-    compile) and then recover; retry once after a sleep before declaring
-    it dead, so a recovering relay doesn't record a spurious zero."""
+    compile) and then recover; retry three times over ~7.5 min before
+    declaring it dead, so a recovering relay doesn't record a spurious
+    zero (BENCH_r03 recorded exactly that: value 0.0 while RESULTS.md
+    held two agreeing in-session measurements)."""
     import subprocess
     import sys
 
