@@ -54,9 +54,8 @@ def train_sampler(target, *, nbridges, iters, mfvi_iters, lr, eps=1e-5,
     return res.params, ctx, setup
 
 
-def weighted_moments(params, ctx, setup, target, *, n_chains, key):
-    """Self-normalized IS moments from n_chains trained-sampler draws.
-    Returns (mean (dim,), std (dim,), ess)."""
+def weighted_draws(params, ctx, setup, target, *, n_chains, key):
+    """(logw (n,), z (n, dim)) from n_chains trained-sampler draws."""
     from cmcd_tpu import bounds
 
     neg_elbos, z = bounds.compute_elbos(params, key, n_chains, ctx, setup)
@@ -65,6 +64,15 @@ def weighted_moments(params, ctx, setup, target, *, n_chains, key):
     finite = jnp.isfinite(logw)
     logw = jnp.where(finite, logw, -jnp.inf)
     z = jnp.where(finite[:, None], z, 0.0)
+    return logw, z
+
+
+def weighted_moments(params, ctx, setup, target, *, n_chains, key):
+    """Self-normalized IS moments from n_chains trained-sampler draws.
+    Returns (mean (dim,), std (dim,), ess)."""
+    logw, z = weighted_draws(
+        params, ctx, setup, target, n_chains=n_chains, key=key
+    )
     p = jax.nn.softmax(logw)
     ess = 1.0 / jnp.sum(p * p)
     mean = jnp.sum(p[:, None] * z, axis=0)
@@ -87,6 +95,12 @@ def main():
     ap.add_argument("--eps", type=float, default=1e-5)
     ap.add_argument("--n", type=int, default=8000)
     ap.add_argument("--boundmode", type=str, default="MCD_CAIS_sn")
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="independently-trained samplers to pool (each "
+                    "seeds its own MFVI start AND training stream); the "
+                    "per-chain log-weights are unbiased unnormalized "
+                    "estimates of the same Z, so raw pooling across runs "
+                    "is a valid IS estimator")
     args = ap.parse_args()
 
     import cmcd_tpu
@@ -97,16 +111,40 @@ def main():
         lr = LR_DICT.get(args.target, {}).get(args.boundmode, 1e-4)
         print(f"lr from LR_DICT: {lr}")
 
+    import numpy as onp
+
+    from cmcd_tpu.utils.psis import psis_moments
+
     target = cmcd_tpu.load_target(args.target)
-    params, ctx, setup = train_sampler(
-        target, nbridges=args.nbridges, iters=args.iters,
-        mfvi_iters=args.mfvi, lr=lr, eps=args.eps, mode=args.boundmode,
-    )
-    mean, std, ess = weighted_moments(
-        params, ctx, setup, target, n_chains=args.n,
-        key=jax.random.PRNGKey(7),
-    )
-    print(f"IS moments from {args.n} chains, ESS {float(ess):.0f}")
+    all_logw, all_z, per_seed_means = [], [], []
+    for s in range(args.seeds):
+        params, ctx, setup = train_sampler(
+            target, nbridges=args.nbridges, iters=args.iters,
+            mfvi_iters=args.mfvi, lr=lr, eps=args.eps, mode=args.boundmode,
+            seed=s,
+        )
+        logw, z = weighted_draws(
+            params, ctx, setup, target, n_chains=args.n,
+            key=jax.random.PRNGKey(7 + s),
+        )
+        all_logw.append(onp.asarray(logw))
+        all_z.append(onp.asarray(z))
+        r = psis_moments(onp.asarray(logw), onp.asarray(z))
+        per_seed_means.append(r["mean"])
+        print(f"seed {s}: raw ESS {r['ess_raw']:.0f} / psis ESS "
+              f"{r['ess_psis']:.0f} of {args.n}, k-hat {r['k_hat']:.2f}"
+              + (" (k-hat > 0.7: unreliable tail — report with caution)"
+                 if r["k_hat"] > 0.7 else ""))
+
+    if args.seeds > 1:
+        spread = onp.max(onp.std(onp.stack(per_seed_means), axis=0))
+        print(f"cross-seed max coord-mean std: {spread:.3f} "
+              "(small => every initialization locks the same mode)")
+    res = psis_moments(onp.concatenate(all_logw), onp.concatenate(all_z))
+    mean, std = res["mean"], res["std"]
+    print(f"pooled PSIS moments from {args.seeds}x{args.n} chains: "
+          f"raw ESS {res['ess_raw']:.0f}, psis ESS {res['ess_psis']:.0f}, "
+          f"k-hat {res['k_hat']:.2f}")
 
     if args.anchor and os.path.exists(args.anchor):
         import numpy as onp
