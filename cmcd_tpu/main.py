@@ -146,7 +146,8 @@ def run_experiment(config, logger: MetricLogger | None = None):
 
                     train_loss_fn = lambda p, k, n, c, s: (
                         parallel.sharded_var_bound_pallas(
-                            p, k, n, c, s, target, mesh=mesh
+                            p, k, n, c, s, target, mesh=mesh,
+                            bf16_net=bf16_net,
                         )
                     )
                     print("Using SHARDED fused Pallas training path.")
@@ -154,7 +155,7 @@ def run_experiment(config, logger: MetricLogger | None = None):
                     from cmcd_tpu.ops.fused_train import var_bound_pallas
 
                     train_loss_fn = lambda p, k, n, c, s: var_bound_pallas(
-                        p, k, n, c, s, target
+                        p, k, n, c, s, target, bf16_net=bf16_net
                     )
                     print(
                         "Using fused Pallas training path "

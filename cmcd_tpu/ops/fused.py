@@ -230,8 +230,22 @@ def choose_block(dim: int, n_chains: int, *, traj_arrays: int = 0,
     block = min(block, -(-n_chains // lane) * lane)
     if traj_arrays:
         per_col = traj_arrays * (nbridges + 1) * _dim_pad(dim) * 4
-        while block > lane and per_col * block > 48 * 1024 * 1024:
-            block -= lane
+        if 2 * per_col * lane <= 40 * 1024 * 1024:
+            # A single-window sweep (double-buffered whole-trajectory
+            # windows within choose_time_block's 40 MB share) is achievable
+            # at SOME width: shrink toward it — whole-trajectory residuals
+            # stay on-chip, the measured-fastest configuration when it
+            # fits.
+            while block > lane and per_col * block > 48 * 1024 * 1024:
+                block -= lane
+        # else: even a lane-wide block cannot fit whole windows — the
+        # sweep will time-chunk regardless, windows are bounded by
+        # choose_time_block, and narrowing the block only multiplies
+        # program count. Measured on v5e (196-D nice, N=300,
+        # MCD_U_a-lp-sn / UHA): the capped block=128 chunked sweep LOSES
+        # to the XLA scan at K=128/256 (0.84-0.94x) while the default
+        # block=256 chunked sweep WINS (1.21x at K=256, tb=8). 1600-D
+        # LGCP is unaffected (default_block is already 128 there).
     return block
 
 

@@ -87,7 +87,7 @@ def sharded_loss_for_mode(mode: str, mesh: Mesh):
 
 def sharded_var_bound_pallas(
     params, key, n_chains, ctx, setup, target, *, mesh,
-    block=None, noise=None, interpret=False,
+    block=None, noise=None, interpret=False, bf16_net=False,
 ):
     """Multi-chip fused VarGrad training loss: each device runs the fused
     Pallas forward (and, under autodiff, the fused backward) kernel on its
@@ -124,6 +124,7 @@ def sharded_var_bound_pallas(
             block=block,
             noise=local_noise[0] if local_noise else None,
             interpret=interpret,
+            bf16_net=bf16_net,
         )
 
     args = (params,) + ((noise,) if noise is not None else ())

@@ -6,7 +6,9 @@ evolve_kl_bwd_underdamped time_block) newly admits big-K leapfrog configs
 trainer-level step time of both paths on the real chip and checks the
 losses agree. Run ALONE (one process per chip).
 
-Usage: python -m experiments.probe_ud_bigk [K] [N] [mode]
+Usage: python -m experiments.probe_ud_bigk [K] [N] [mode] [time_block] [block]
+(time_block/block: 0 or omitted = the auto choice; probing alternates
+calibrates choose_time_block's ladder from hardware points.)
 """
 import sys
 
@@ -23,6 +25,8 @@ def main():
     nb = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 300
     mode = sys.argv[3] if len(sys.argv) > 3 else "MCD_U_a-lp-sn"
+    tb_override = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    blk_override = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     iters = max(4, 2048 // nb)
 
     target = cmcd_tpu.load_target("nice")
@@ -42,6 +46,10 @@ def main():
     blk = choose_block(target.dim, n, traj_arrays=3, nbridges=nb)
     est = _vmem_estimate(setup, target, blk)
     tb = choose_time_block(nb, target.dim, blk, 3, est)
+    if blk_override:
+        blk = blk_override
+    if tb_override:
+        tb = tb_override
     print(f"config: K={nb} N={n} {mode} dim={target.dim} "
           f"block={blk} time_block={tb} "
           f"supports={supports_fused_train(setup, target, n_chains=n)}")
@@ -52,7 +60,9 @@ def main():
             from cmcd_tpu.ops.fused_train import kl_bound_pallas
 
             loss_builder = lambda p, k: kl_bound_pallas(
-                p, k, n, ctx, setup, target
+                p, k, n, ctx, setup, target,
+                block=blk if blk_override else None,
+                time_block=tb if tb_override else None,
             )
         else:
             loss_builder = lambda p, k: bounds.kl_bound(p, k, n, ctx, setup)
