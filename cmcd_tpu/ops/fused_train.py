@@ -48,6 +48,17 @@ _REPLAY_BYTES_BUDGET = 256 * 1024 * 1024
 # weight grads for LGCP-size nets spill past physical VMEM.
 _NET_GRADS_OUTSIDE_BYTES = 4 * 1024 * 1024
 
+# The replay backward's grid is (trajectory windows, chain blocks) and its
+# per-program fixed cost dominates once the per-point work is small: on v5e
+# at the flagship size (N=2000, K=256, emb_dim=130) widening the backward's
+# chain block from 1024 to the whole padded batch (2048; 514 -> 257
+# programs) cut the backward kernel 3.26 -> 2.27 ms while the FORWARD
+# regressed at the same width (2.44 -> 3.12 ms; its double-buffered
+# pipeline needs two resident blocks) — so the widths are decoupled and the
+# backward requests the whole batch whenever its three (dim_pad, block)
+# trajectory windows stay under this budget (RESULTS.md round 4).
+_REPLAY_BWD_WINDOW_BYTES = 2 * 1024 * 1024
+
 
 def _make_evolve(setup, target, n_chains, block, interpret, backward="auto",
                  bf16_net=False):
@@ -139,6 +150,11 @@ def _make_evolve(setup, target, n_chains, block, interpret, backward="auto",
         if use_replay:
             import jax.numpy as _jnp
 
+            # Decoupled backward chain block (see _REPLAY_BWD_WINDOW_BYTES):
+            # one program per trajectory point when the windows fit.
+            n_pad = traj_t.shape[-1]
+            if 3 * dim_pad * n_pad * 4 <= _REPLAY_BWD_WINDOW_BYTES:
+                common = dict(common, block=n_pad)
             grads = evolve_vargrad_bwd_replay(
                 traj_t,
                 g_deltas,
