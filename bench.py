@@ -350,10 +350,19 @@ def main():
     # 100 matches the trainer's automatic steps_per_call (largest divisor of
     # iters <= 100; measured ~15% faster than chunk 20 at the flagship size).
     chunk = int(os.environ.get("BENCH_STEPS_PER_CALL", 100))
-    # BENCH_BF16=1 runs the fused side's score-net math in bf16 (measured
-    # 1.10x on v5e; grad within 3e-2 relative). Off by default: the
-    # headline A/B keeps the f32 gradient-exactness contract.
-    bf16 = bool(int(os.environ.get("BENCH_BF16", "0")))
+    # BENCH_BF16 runs the fused side's score-net math in bf16 (weights in
+    # bf16, MXU accumulation in f32 — the idiomatic TPU number format;
+    # measured 1.14x on v5e after the round-4 bwd-block widening). ON by
+    # default since the full-recipe quality gate passed on hardware: the
+    # 40k-iteration flagship recipe lands at ln Z -0.038 +- 0.144 in bf16
+    # vs -0.016 +- 0.149 in f32 (both PASS at tol 0.25, both inside the
+    # 0.1-nat band — RESULTS.md round-4 defaults section). The f32 fused
+    # step is still measured and recorded alongside (tpu_native_f32_step_ms)
+    # and BENCH_BF16=0 restores the f32 headline. The config default
+    # (config.bf16_fused_net=False) is unchanged — training defaults keep
+    # the f32 gradient-exactness contract; bf16 is the benchmark's and the
+    # user's opt-in performance configuration.
+    bf16 = bool(int(os.environ.get("BENCH_BF16", "1")))
 
     def r(ms_list):
         return [round(t * 1e3, 3) for t in ms_list]
@@ -368,12 +377,18 @@ def main():
         )
         t_unchunked, _ = bench_train(n, nbridges, emb_dim, iters, repeats, True,
                                      bf16_net=bf16)
+        # With bf16 headlining, keep the f32 fused step on the record too.
+        t_f32 = (
+            bench_train(n, nbridges, emb_dim, max(iters // chunk, 3), repeats,
+                        True, steps_per_call=chunk, bf16_net=False)[0]
+            if bf16 else t_native
+        )
     except Exception:
         t_native, native_groups = bench_train(
             n, nbridges, emb_dim, iters, repeats, False
         )
         native_path = "xla_scan_train"
-        t_unchunked = t_native
+        t_unchunked = t_f32 = t_native
     t_scan, scan_groups = (
         bench_train(n, nbridges, emb_dim, iters, repeats, False)
         if "pallas" in native_path
@@ -420,6 +435,8 @@ def main():
                     "tpu_native_step_ms": round(t_native * 1e3, 3),
                     "tpu_native_group_means_ms": r(native_groups),
                     "tpu_native_unchunked_step_ms": round(t_unchunked * 1e3, 3),
+                    "tpu_native_f32_step_ms": round(t_f32 * 1e3, 3),
+                    "bf16_fused_net": bf16,
                     "xla_scan_step_ms": round(t_scan * 1e3, 3),
                     "reference_style_step_ms": round(t_ref * 1e3, 3),
                     "reference_style_group_means_ms": r(ref_groups),
