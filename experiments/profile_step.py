@@ -61,26 +61,64 @@ def parse_trace(trace_dir, steps):
     events = data.get("traceEvents", [])
     # device tracks: pid whose process_name metadata mentions TPU/device
     pid_names = {}
+    tid_names = {}
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             pid_names[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_names[(e["pid"], e.get("tid", 0))] = e["args"].get("name", "")
     dev_pids = {
         p for p, n in pid_names.items()
         if "TPU" in n or "Device" in n or "/device" in n.lower()
     }
-    buckets = defaultdict(float)
-    t_min, t_max = float("inf"), 0.0
+    # Annotation tracks ("Steps" = step-number markers, "XLA Modules" =
+    # whole-module spans) parallel the op track and would double-count.
+    skip_tids = {
+        t for t, n in tid_names.items()
+        if "step" in n.lower() or "module" in n.lower()
+    }
+    # Device-track events NEST (a while op spans its body kernels; the
+    # whole-module jit_* event spans everything on its track). Summing raw
+    # durations double-counts, so attribute SELF time: each event's duration
+    # minus the time covered by events strictly inside it on the same track.
+    tracks = defaultdict(list)
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
-        name = e.get("name", "?")
+        if (e["pid"], e.get("tid", 0)) in skip_tids:
+            continue
         dur = float(e.get("dur", 0.0))  # microseconds
         if dur <= 0:
             continue
-        buckets[name] += dur
-        t_min = min(t_min, e["ts"])
-        t_max = max(t_max, e["ts"] + dur)
-    busy = sum(buckets.values())
+        name = e.get("name", "?")
+        if name.isdigit():  # step-number annotation without a named track
+            continue
+        # The whole-module event (jit_run/pjit_run) spans its ops AND the
+        # idle gaps between them — drop it so busy reflects op time only.
+        if name.startswith("jit_") or name.startswith("pjit_"):
+            continue
+        tracks[(e["pid"], e.get("tid", 0))].append((float(e["ts"]), dur, name))
+    buckets = defaultdict(float)
+    busy = 0.0
+    t_min, t_max = float("inf"), 0.0
+    for evs in tracks.values():
+        # Longer event first at equal start => parents precede children.
+        evs.sort(key=lambda t: (t[0], -t[1]))
+        stack = []  # [ts_end, self_time_idx] entries
+        selfs = []
+        for ts, dur, name in evs:
+            end = ts + dur
+            t_min, t_max = min(t_min, ts), max(t_max, end)
+            while stack and stack[-1][0] <= ts + 1e-9:
+                stack.pop()
+            if stack:
+                selfs[stack[-1][1]][1] -= dur  # child time off the parent
+            else:
+                busy += dur  # top-level event => contributes to busy union
+            selfs.append([name, dur])
+            stack.append((end, len(selfs) - 1))
+        for name, self_us in selfs:
+            buckets[name] += max(self_us, 0.0)
     span = (t_max - t_min) if t_max > t_min else 0.0
     per_step = {k: v / steps / 1e6 for k, v in buckets.items()}
     return busy / steps / 1e6, per_step, span / steps / 1e6
@@ -88,11 +126,17 @@ def parse_trace(trace_dir, steps):
 
 def classify(name: str) -> str:
     n = name.lower()
-    if "custom-call" in n or "tpu_custom_call" in n or "pallas" in n:
+    # Pallas kernels appear under their trace-time function names (the HLO
+    # instruction carries the custom-call's kernel_name), not "pallas".
+    if ("custom-call" in n or "tpu_custom_call" in n or "pallas" in n
+            or n.startswith("jvp") or n.startswith("transpose_jvp")
+            or "fused_" in n or "evolve_" in n or "_kernel" in n):
         return "pallas kernel"
-    if "fusion" in n:
+    if "fusion" in n or "convolution" in n or n.startswith("dot"):
         return "XLA fusion"
-    if "copy" in n or "transpose" in n or "reshape" in n:
+    if "while" in n or "scan" in n:
+        return "XLA while/scan"
+    if "copy" in n or "transpose" in n or "reshape" in n or "bitcast" in n:
         return "copy/layout"
     if "infeed" in n or "outfeed" in n or "transfer" in n:
         return "host transfer"
@@ -112,7 +156,17 @@ def main():
     ap.add_argument("--scan", action="store_true",
                     help="profile the XLA-scan path instead of fused")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--trace_dir", type=str, default=None,
+                    help="persist the trace here (default: tempdir)")
+    ap.add_argument("--reparse", action="store_true",
+                    help="parse an existing --trace_dir without running")
     args = ap.parse_args()
+
+    if args.reparse:
+        assert args.trace_dir, "--reparse needs --trace_dir"
+        busy, per_step, span = parse_trace(args.trace_dir, args.steps)
+        report(args, None, busy, per_step, span)
+        return
 
     import cmcd_tpu
     from cmcd_tpu import bounds
@@ -152,22 +206,32 @@ def main():
              jax.random.PRNGKey(0))
     step = const_hoisted_jit(train_step, state)
 
-    with tempfile.TemporaryDirectory() as td:
-        wall = run_traced(step, state, args.steps, td)
-        busy, per_step, span = parse_trace(td, args.steps)
+    if args.trace_dir:
+        os.makedirs(args.trace_dir, exist_ok=True)
+        wall = run_traced(step, state, args.steps, args.trace_dir)
+        busy, per_step, span = parse_trace(args.trace_dir, args.steps)
+    else:
+        with tempfile.TemporaryDirectory() as td:
+            wall = run_traced(step, state, args.steps, td)
+            busy, per_step, span = parse_trace(td, args.steps)
+    report(args, wall, busy, per_step, span)
 
+
+def report(args, wall, busy, per_step, span):
     path = "scan" if args.scan else "fused"
+    wall_s = f"wall {wall*1e3:.3f} ms/step, " if wall is not None else ""
+    host = (f", host+dispatch {(wall-span)*1e3:.3f} ms"
+            if wall is not None else "")
     print(f"\n{args.target} {args.mode} K={args.nbridges} N={args.n} "
-          f"[{path}]: wall {wall*1e3:.3f} ms/step, device busy "
+          f"[{path}]: {wall_s}device busy "
           f"{busy*1e3:.3f} ms, device span {span*1e3:.3f} ms, "
-          f"idle-on-device {(span-busy)*1e3:.3f} ms, "
-          f"host+dispatch {(wall-span)*1e3:.3f} ms")
+          f"idle-on-device {(span-busy)*1e3:.3f} ms{host}")
     cats = defaultdict(float)
     for name, sec in per_step.items():
         cats[classify(name)] += sec
     for c, sec in sorted(cats.items(), key=lambda kv: -kv[1]):
         print(f"  {c:<16} {sec*1e3:8.3f} ms/step")
-    print("  top ops:")
+    print("  top ops (self time):")
     for name, sec in sorted(per_step.items(), key=lambda kv: -kv[1])[:12]:
         print(f"    {sec*1e3:8.3f} ms  {name[:90]}")
 
