@@ -151,10 +151,15 @@ def _make_evolve(setup, target, n_chains, block, interpret, backward="auto",
             import jax.numpy as _jnp
 
             # Decoupled backward chain block (see _REPLAY_BWD_WINDOW_BYTES):
-            # one program per trajectory point when the windows fit.
+            # whole-batch programs when the windows fit, two trajectory
+            # points per program (statically unrolled; measured 3.554 vs
+            # 3.623 ms/step at the flagship size — ppp=4 ties, ppp=8
+            # regresses on VMEM pressure; RESULTS.md round-4 ppp ladder).
             n_pad = traj_t.shape[-1]
+            ppp = 1
             if 3 * dim_pad * n_pad * 4 <= _REPLAY_BWD_WINDOW_BYTES:
                 common = dict(common, block=n_pad)
+                ppp = 2
             grads = evolve_vargrad_bwd_replay(
                 traj_t,
                 g_deltas,
@@ -165,6 +170,7 @@ def _make_evolve(setup, target, n_chains, block, interpret, backward="auto",
                 grad_t,
                 spec,
                 n_chains=n_chains,
+                points_per_program=ppp,
                 net_compute_dtype=(
                     _jnp.bfloat16 if bf16_net else _jnp.float32
                 ),

@@ -275,15 +275,16 @@ def evolve_vargrad_bwd_replay(
         zm_last = wm_ref[jsz - 1]
         zp_first = wp_ref[0]
 
-        def body(t, acc):
+        # Static unroll: jsz is a Python int, so the window-ref indices and
+        # the window-edge neighbor choices resolve at trace time — no
+        # fori_loop bookkeeping, no dynamic-index selects (the overhead
+        # that made jsz=8 lose its prologue saving pre-widening).
+        acc = tuple(jnp.zeros(t.shape, jnp.float32) for t in theta_vals)
+        for t in range(jsz):
             j = w_id * jsz + t
             z = wc_ref[t]
-            z_prev = jnp.where(
-                t == 0, zm_last, wc_ref[jnp.maximum(t - 1, 0)]
-            )
-            z_next = jnp.where(
-                t == jsz - 1, zp_first, wc_ref[jnp.minimum(t + 1, jsz - 1)]
-            )
+            z_prev = zm_last if t == 0 else wc_ref[t - 1]
+            z_next = zp_first if t == jsz - 1 else wc_ref[t + 1]
             # Reads past the stored K+1 points hit Pallas's block padding
             # (NaN in interpret mode, arbitrary on hardware). The loss masks
             # those terms to zero, but 0 * NaN = NaN in the GRADIENT — so
@@ -299,10 +300,7 @@ def evolve_vargrad_bwd_replay(
             )
             flat_in = list(theta_vals) + [z_prev, z, z_next, j, c_row]
             g = jax.core.eval_jaxpr(point_jaxpr.jaxpr, consts, *flat_in)
-            return tuple(a + gi for a, gi in zip(acc, g))
-
-        acc0 = tuple(jnp.zeros(t.shape, jnp.float32) for t in theta_vals)
-        acc = jax.lax.fori_loop(0, jsz, body, acc0)
+            acc = tuple(a + gi for a, gi in zip(acc, g))
 
         first = jnp.logical_and(w_id == 0, c_id == 0)
         for o_ref, g in zip(out_refs, acc):
@@ -356,6 +354,12 @@ def evolve_vargrad_bwd_replay(
     ]
     out_shape = [jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in theta]
 
+    # The unrolled multi-point body's VJP temporaries exceed the compiler's
+    # ~17 MB scoped-VMEM default at jsz >= 4 (measured: 20.1 MB at jsz=4,
+    # flagship size); size the limit like every other kernel here.
+    from cmcd_tpu.ops.kernel_common import vmem_limit_params
+
+    kwargs = vmem_limit_params(inputs, out_shape, interpret=interpret)
     outs = pl.pallas_call(
         kernel,
         grid=(n_windows, nchunks),
@@ -363,6 +367,7 @@ def evolve_vargrad_bwd_replay(
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        **kwargs,
     )(*inputs)
 
     g_eps, g_betas, g_mean, g_logdiag = outs[:4]
