@@ -157,9 +157,13 @@ def _make_evolve(setup, target, n_chains, block, interpret, backward="auto",
             # regresses on VMEM pressure; RESULTS.md round-4 ppp ladder).
             n_pad = traj_t.shape[-1]
             ppp = 1
-            if 3 * dim_pad * n_pad * 4 <= _REPLAY_BWD_WINDOW_BYTES:
+            # Widened footprint: 3 one-point windows PER replay point
+            # (ppp_target of them resident at once), f32 — size the gate to
+            # the actual resident bytes so constant and footprint agree.
+            ppp_target = 2
+            if 3 * ppp_target * dim_pad * n_pad * 4 <= _REPLAY_BWD_WINDOW_BYTES:
                 common = dict(common, block=n_pad)
-                ppp = 2
+                ppp = ppp_target
             grads = evolve_vargrad_bwd_replay(
                 traj_t,
                 g_deltas,

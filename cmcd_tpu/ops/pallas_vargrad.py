@@ -100,12 +100,14 @@ def evolve_vargrad_bwd_replay(
     `points_per_program` stored states from HBM, runs ONE score-net
     application + VJP per point, and accumulates the parameter gradients
     in VMEM. No PRNG, no sequential dependency, no noise plumbing.
-    points_per_program=1 is the measured optimum on v5e at the flagship
-    size (RESULTS.md: 8 points/program was ~7% SLOWER — the window refs
-    triple the block streaming and the fori_loop adds select overhead; the
-    ~1.7 us fixed program cost does not dominate). The windowing machinery
-    is kept (and tested) for configurations where trajectory streaming
-    dominates program count.
+    The multi-point window loop is statically unrolled (no fori_loop select
+    overhead). Measured on v5e at the flagship size (RESULTS.md round-4 ppp
+    ladder, re-run post-unroll): points_per_program=2 with whole-batch
+    backward chain blocks is the optimum (3.554 vs 3.623 ms/step at ppp=1;
+    ppp=4 ties, ppp=8 regresses on VMEM pressure). fused_train defaults to
+    ppp=2 when the backward block is widened to the whole batch and falls
+    back to ppp=1 for narrow-block configurations where per-window
+    streaming would triple the block traffic.
 
     traj_t: (nbridges + 1, dim_pad, n_pad) raw transposed trajectory from
     evolve_overdamped_pallas(..., return_trajectory_t=True).

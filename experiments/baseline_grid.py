@@ -78,7 +78,18 @@ TARGET_FLAGS = {
     "brownian": dict(_POSTERIOR),
     "lgcp": dict(_POSTERIOR, N=20, lr=1e-4, bf16_fused_net=True,
                  n_samples=100),
+    # lorenz: observations are self-generated (inference_gym absent offline
+    # — see targets/gym.py), so ELBO LEVELS are not comparable to the
+    # reference cell-18 lorenz row (87502..-3745, its own data); the grid
+    # checks curve SHAPE (monotone in K) only. LR comes from LR_DICT
+    # (MCD_CAIS_sn: 1e-5).
+    "lorenz": dict(_POSTERIOR),
 }
+
+# Absolute monotone slack overrides (nats) for targets whose ELBO scale
+# makes the default 0.15-nat slack meaningless; lorenz ELBOs sit near -176
+# (RESULTS.md) with multi-nat eval noise between adjacent K.
+MONOTONE_TOL = {"lorenz": 5.0}
 
 KS_DEFAULT = (8, 16, 32, 64, 128, 256)
 
@@ -150,7 +161,7 @@ def check_monotone(rows, slack=0.15) -> dict:
             ref_step = None
             if a["elbo_ref"] is not None and b["elbo_ref"] is not None:
                 ref_step = abs(b["elbo_ref"] - a["elbo_ref"])
-            tol = slack * max(1.0, ref_step or 1.0)
+            tol = MONOTONE_TOL.get(t, slack * max(1.0, ref_step or 1.0))
             if b["elbo"] < a["elbo"] - tol:
                 ok = False
         verdicts[t] = ok

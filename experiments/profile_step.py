@@ -112,7 +112,14 @@ def parse_trace(trace_dir, steps):
             while stack and stack[-1][0] <= ts + 1e-9:
                 stack.pop()
             if stack:
-                selfs[stack[-1][1]][1] -= dur  # child time off the parent
+                # Subtract only the overlap from the enclosing event: a
+                # sibling that merely overlaps the tail (ts inside, end
+                # beyond) is not fully contained, and its overhang extends
+                # the busy union rather than the parent's child time.
+                parent_end = stack[-1][0]
+                selfs[stack[-1][1]][1] -= min(end, parent_end) - ts
+                if end > parent_end:
+                    busy += end - parent_end
             else:
                 busy += dur  # top-level event => contributes to busy union
             selfs.append([name, dur])

@@ -96,6 +96,13 @@ RECIPES = {
         },
         ln_z_true=None,
         ln_z_tol=None,
+        # No analytic ln Z (unnormalized posterior) — the mechanical check
+        # is an ELBO floor. Published K=8 reference cell is -364.07
+        # (plotting_rebuttal.ipynb cell 18 via BASELINE.md); every recorded
+        # run of THIS recipe (MFVI 20k + trained eps) lands at ELBO >= +400
+        # (RESULTS.md lgcp rows), so the floor is set there: a silently
+        # broken LGCP path cannot PASS.
+        elbo_floor=400.0,
     ),
     # README.md 40-GMM KL recipe with the PIS ("dds") net — the reference's
     # own published flag set; runs on the fused KL (BPTT) kernel path.
@@ -140,6 +147,30 @@ RECIPES = {
             "train_eps": False,
             "train_vi": False,
             "iters": 40000,
+        },
+        ln_z_true=0.0,
+        ln_z_tol=0.25,
+    ),
+    # Same 40-GMM KL recipe on the PISGRADNet ("dds_grad") arch — the
+    # reference ships this net broken (src/nn_dds.py:195-317 crashes on its
+    # trainable-string bug); it works here (zero-init grad gate), so this
+    # entry is the E2E quality row the grad-equivalence tests don't give.
+    "many_gmm_kl_dds_grad": dict(
+        flags={
+            "model": "many_gmm",
+            "boundmode": "MCD_CAIS_sn",
+            "N": 2000,
+            "nbridges": 256,
+            "pretrain_mfvi": False,
+            "init_sigma": 60,
+            "grad_clipping": True,
+            "init_eps": 1.0,
+            "eps_schedule": "cos_sq",
+            "lr": 0.001,
+            "train_eps": False,
+            "train_vi": False,
+            "nn_arch": "dds_grad",
+            "iters": 5000,
         },
         ln_z_true=0.0,
         ln_z_tol=0.25,
@@ -203,7 +234,19 @@ def check_recipe(name: str, results: dict) -> dict:
             "true": spec["elbo_true"], "err": round(float(err), 4),
             "tol": spec["elbo_tol"], "pass": bool(err <= spec["elbo_tol"]),
         })
-    ok = all(c["pass"] for c in checks) if checks else True
+    if spec.get("elbo_floor") is not None:
+        val = float(results["final_elbo"])
+        checks.append({
+            "metric": "ELBO_floor", "value": val,
+            "floor": spec["elbo_floor"],
+            "pass": bool(val >= spec["elbo_floor"]),
+        })
+    # A spec that yields zero checks cannot PASS — a vacuous entry would
+    # let a silently broken path count toward "N/N PASS" (round-4 verdict
+    # weak #2). Every recipe must anchor at least one mechanical check.
+    if not checks:
+        return {"recipe": name, "pass": False, "vacuous": True, "checks": []}
+    ok = all(c["pass"] for c in checks)
     return {"recipe": name, "pass": ok, "checks": checks}
 
 
@@ -219,8 +262,15 @@ def run_recipe(name: str):
     print(f"[{name}] results:", results)
     record = check_recipe(name, results)
     for c in record["checks"]:
-        print(f"[{name}] |{c['metric']} - {c['true']}| = {c['err']:.3f} "
-              f"(tol {c['tol']}) -> {'PASS' if c['pass'] else 'FAIL'}")
+        if "floor" in c:
+            print(f"[{name}] {c['metric']} = {c['value']:.3f} "
+                  f"(floor {c['floor']}) -> "
+                  f"{'PASS' if c['pass'] else 'FAIL'}")
+        else:
+            print(f"[{name}] |{c['metric']} - {c['true']}| = {c['err']:.3f} "
+                  f"(tol {c['tol']}) -> {'PASS' if c['pass'] else 'FAIL'}")
+    if record.get("vacuous"):
+        print(f"[{name}] VACUOUS: spec has no checks -> FAIL")
     return record["pass"], results
 
 
