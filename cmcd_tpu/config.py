@@ -144,6 +144,11 @@ def get_config() -> ml_collections.ConfigDict:
     # contract (fused grads bit-match jax.grad of the scan loss; the grad
     # tests exercise that path explicitly).
     config.bf16_fused_net = True
+    # bf16 residual stacks (trajectory/noise/gsn) in the split fused-KL
+    # backward (the 1600-D LGCP path) — halves the reverse sweep's stack
+    # streaming. Off by default pending the quality gate; see
+    # ops/fused_train._make_evolve_kl bf16_residuals.
+    config.bf16_residuals = False
     config.checkpoint_dir = ""
     config.checkpoint_every = 0  # 0 = disabled
     # Optimizer steps fused into one jitted dispatch (0 = auto, up to 100;

@@ -176,8 +176,10 @@ def run_experiment(config, logger: MetricLogger | None = None):
                 else:
                     from cmcd_tpu.ops.fused_train import kl_bound_pallas
 
+                    bf16_res = bool(config.bf16_residuals)
                     train_loss_fn = lambda p, k, n, c, s: kl_bound_pallas(
-                        p, k, n, c, s, target, bf16_net=bf16_net
+                        p, k, n, c, s, target, bf16_net=bf16_net,
+                        bf16_residuals=bf16_res,
                     )
                     print(
                         "Using fused Pallas KL training path "

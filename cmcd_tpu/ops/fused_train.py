@@ -275,7 +275,7 @@ def neg_elbos_pallas(
 
 
 def _make_evolve_kl(setup, target, n_chains, block, interpret, spec,
-                    bf16_net=False, time_block=None):
+                    bf16_net=False, time_block=None, bf16_residuals=False):
     """custom_vjp'd (theta, z0, seed, noise) -> (deltas, z_final) for the
     KL-trained overdamped modes (full BPTT — no stop-gradients).
 
@@ -283,7 +283,16 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec,
     backward is the reverse-sweep kernel (ops/pallas_kl.py) seeded with the
     final-state cotangent (the target term's gradient, computed by XLA) and
     emitting the initial-state cotangent for the reparameterized draw.
-    Residuals: the stored trajectory + noise draws."""
+    Residuals: the stored trajectory + noise draws.
+
+    bf16_residuals (split path only): store the trajectory AND noise stacks
+    in bfloat16 — halves the residual HBM traffic of the reverse sweep and
+    the out-of-kernel weight-grad pass. The split kernel's xi
+    reconstruction is numerically impossible from bf16 states (the step
+    increment sits below the bf16 ulp of |z| at LGCP-scale eps), so this
+    mode stores the noise stack the f32 split path elides. Gradients see
+    bf16-rounded states (~1e-2 relative, like bf16_net); quality-gate any
+    enablement."""
     from cmcd_tpu.ops.pallas_kl import evolve_kl_bwd_pallas
 
     dim = setup.dim
@@ -305,6 +314,8 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec,
         and _packed_sn_bytes(setup) > _NET_GRADS_OUTSIDE_BYTES
     )
     bf16_net = bf16_net and split
+    bf16_residuals = bf16_residuals and split
+    residual_dtype = jnp.bfloat16 if bf16_residuals else jnp.float32
     if time_block is None:
         # Auto time-chunk the reverse sweep when its whole-trajectory
         # windows (traj + noise, or traj + the split gsn output — 2 stacks
@@ -355,11 +366,15 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec,
             block=block,
             noise=noise,
             return_trajectory_t=True,
-            return_noise_t=not inject and not split,
+            # The f32 split sweep reconstructs xi from the trajectory (no
+            # noise stack); bf16 residuals cannot reconstruct, so the
+            # forward stores the (bf16) draws.
+            return_noise_t=not inject and (not split or bf16_residuals),
             time_block=time_block,
+            residual_dtype=residual_dtype,
             interpret=interpret,
         )
-        if split:
+        if split and not bf16_residuals:
             z_final, deltas, traj_t = out[:3]
             noise_t = None
         elif inject:
@@ -367,10 +382,10 @@ def _make_evolve_kl(setup, target, n_chains, block, interpret, spec,
             n_pad = traj_t.shape[2]
             noise_t = (
                 jnp.zeros(
-                    (setup.nbridges, dim_pad, n_pad), jnp.float32
+                    (setup.nbridges, dim_pad, n_pad), residual_dtype
                 )
                 .at[:, :dim, :n_chains]
-                .set(jnp.swapaxes(noise, 1, 2))
+                .set(jnp.swapaxes(noise, 1, 2).astype(residual_dtype))
             )
         else:
             z_final, deltas, traj_t, noise_t = out
@@ -753,6 +768,7 @@ def neg_elbos_pallas_kl(
     interpret: bool = False,
     bf16_net: bool = False,
     time_block: int | None = None,
+    bf16_residuals: bool = False,
 ):
     """Per-chain negative ELBOs via the fused forward kernel, differentiable
     in params through the reverse-sweep BPTT backward kernels (full
@@ -814,7 +830,7 @@ def neg_elbos_pallas_kl(
         theta["sn2"] = p["sn2"]
     evolve = _make_evolve_kl(
         setup, target, n_chains, block, interpret, spec, bf16_net,
-        time_block,
+        time_block, bf16_residuals,
     )
     # z0 is DIFFERENTIABLE through evolve here (BPTT), unlike VarGrad.
     deltas, z_final = evolve(theta, z0, seed, noise)
@@ -836,17 +852,20 @@ def kl_bound_pallas(
     interpret: bool = False,
     bf16_net: bool = False,
     time_block: int | None = None,
+    bf16_residuals: bool = False,
 ):
     """KL training loss (mean negative ELBO) with fused Pallas forward AND
     reverse-sweep BPTT backward. Same contract as bounds.kl_bound
     (loss, (neg_elbos, z)) plus the target argument.
 
     bf16_net: reduced-precision sweep for large nets (LGCP-size) — see
-    evolve_kl_bwd_pallas net_compute_dtype. Ignored off the split path."""
+    evolve_kl_bwd_pallas net_compute_dtype. Ignored off the split path.
+    bf16_residuals: bf16 trajectory/noise/gsn stacks on the split path —
+    see _make_evolve_kl. Ignored off the split path."""
     neg_elbos, z_final = neg_elbos_pallas_kl(
         params, key, n_chains, ctx, setup, target,
         block=block, noise=noise, interpret=interpret, bf16_net=bf16_net,
-        time_block=time_block,
+        time_block=time_block, bf16_residuals=bf16_residuals,
     )
     return jnp.mean(neg_elbos), (neg_elbos, z_final)
 

@@ -110,6 +110,20 @@ def evolve_kl_bwd_pallas(
         assert n_traj == nbridges and z_final_t is not None
         zK_t = z_final_t
     assert noise_t is None or noise_t.shape == (nbridges, dim_pad, n_pad)
+    # Residual storage dtype (bf16 halves the stack streaming). bf16
+    # trajectories CANNOT reconstruct xi — (z_{j+1} - fk_mean)/s is a
+    # catastrophic cancellation at step scale s << bf16 ulp of |z| — so the
+    # bf16 split path must be handed the stored noise stack.
+    residual_dtype = traj_t.dtype
+    bf16_res = residual_dtype == jnp.dtype(jnp.bfloat16)
+    if bf16_res:
+        assert noise_t is not None and noise_t.dtype == residual_dtype, (
+            "bf16 residuals require a stored (bf16) noise stack; xi cannot "
+            "be reconstructed from a bf16 trajectory"
+        )
+        assert net_grads_outside, "bf16 residuals are split-sweep only"
+    # The kernel computes in f32 regardless of storage dtype.
+    zK_t = zK_t.astype(jnp.float32)
     block = _round_up(block, LANE)
     if n_pad % block != 0:
         block = next(
@@ -326,6 +340,12 @@ def evolve_kl_bwd_pallas(
         and not spec.use_sn2_bwd
     )
     split = bool(net_grads_outside and carry_sn)
+    assert not bf16_res or split, "bf16 residuals require the split sweep"
+    # recon: the split kernel reconstructs xi from the f32 trajectory (the
+    # default — carries no noise stack). With bf16 residuals the stored
+    # (bf16) noise stack replaces reconstruction (see the dtype note above)
+    # and the z_K boundary plumbing is unneeded.
+    recon = split and not bf16_res
     # In split mode the kernel differentiates only the 4 small params; the
     # net weights are still kernel INPUTS (primal + z-Jacobian transposes)
     # but get no gradient outputs.
@@ -441,31 +461,39 @@ def evolve_kl_bwd_pallas(
     def apps_fn_split(th_net, z, j):
         return grad_logp_t(z), sn_apply(th_net, z, j)
 
-    def iter_fn_split(theta_small, th_net, z_j, gt_j, sn_j, z_jp, j,
+    def iter_fn_split(theta_small, th_net, z_j, gt_j, sn_j, stoch, j,
                       g_zp, g_gt, g_sn, c_row):
         """iter_fn with the net weights outside the vjp: th_net enters by
         closure (no weight cotangents, no weight-sized temporaries); the
         zero dummy added to sn_up extracts the point-(j+1) net-output
         cotangent for the out-of-kernel weight-grad pass.
 
-        The noise draw is NOT an input: xi is reconstructed (as data) from
-        the stored trajectory via the forward recursion — the split kernel
-        carries no noise stack at all, saving its VMEM window and the
-        forward's noise output."""
+        stoch is z_{j+1} (f32 residuals — the default) or the stored xi
+        (bf16 residuals). In the f32 case the noise draw is NOT an input:
+        xi is reconstructed (as data) from the stored trajectory via the
+        forward recursion — the split kernel carries no noise stack at all,
+        saving its VMEM window and the forward's noise output. bf16-stored
+        trajectories cannot support that reconstruction (catastrophic
+        cancellation at step scale), so they carry the (bf16) noise stack
+        instead."""
         dummy = jnp.zeros((dim_pad, block), jnp.float32)
 
-        # Data-only reconstruction (1-ulp of the stored draw): the vjp
-        # below re-derives z_next = fk_mean + scale * xi differentiably.
-        beta_v, eps_v = _beta_eps(theta_small, j)
-        fk_mean_v = (
-            z_j
-            - eps_v * _drift_from(z_j, gt_j, theta_small[2], theta_small[3],
-                                  beta_v)
-            - eps_v * sn_j
-        )
-        xi = jax.lax.stop_gradient(
-            (z_jp - fk_mean_v) / jnp.sqrt(2.0 * eps_v)
-        )
+        if bf16_res:
+            xi = stoch  # the stored draw (upcast by the kernel body)
+        else:
+            # Data-only reconstruction (1-ulp of the stored draw): the vjp
+            # below re-derives z_next = fk_mean + scale * xi
+            # differentiably.
+            beta_v, eps_v = _beta_eps(theta_small, j)
+            fk_mean_v = (
+                z_j
+                - eps_v * _drift_from(z_j, gt_j, theta_small[2],
+                                      theta_small[3], beta_v)
+                - eps_v * sn_j
+            )
+            xi = jax.lax.stop_gradient(
+                (stoch - fk_mean_v) / jnp.sqrt(2.0 * eps_v)
+            )
 
         def f(ths, z_lo, gt_lo, sn_lo, xi_, dmy):
             beta, eps_j = _beta_eps(ths, j)
@@ -581,12 +609,12 @@ def evolve_kl_bwd_pallas(
         idx = 0
         traj_ref = refs[idx]; idx += 1
         noise_ref = None
-        if not split:  # split reconstructs xi from the trajectory
+        if not recon:  # recon-mode split rebuilds xi from the trajectory
             noise_ref = refs[idx]; idx += 1
         c_ref = refs[idx]; idx += 1
         gzf_ref = refs[idx]; idx += 1
         zK_ref = None
-        if split:  # boundary state z_K for the first (topmost) time chunk
+        if recon:  # boundary state z_K for the first (topmost) time chunk
             zK_ref = refs[idx]; idx += 1
         theta_refs = refs[idx : idx + n_theta]; idx += n_theta
         const_refs = refs[idx : idx + len(const_inputs)]
@@ -604,7 +632,7 @@ def evolve_kl_bwd_pallas(
         if carry_sn:
             s_ggt = refs[idx]; idx += 1
             s_gsn = refs[idx]; idx += 1
-        if split:
+        if recon:
             s_zb = refs[idx]; idx += 1
 
         pid = pl.program_id(0)
@@ -639,7 +667,7 @@ def evolve_kl_bwd_pallas(
                 zero_b = jnp.zeros((dim_pad, block), jnp.float32)
                 s_ggt[:] = zero_b
                 s_gsn[:] = zero_b
-            if split:
+            if recon:
                 s_zb[:] = zK_ref[:]
 
         def _accumulate(g_theta):
@@ -652,7 +680,7 @@ def evolve_kl_bwd_pallas(
             final_consts = [all_consts[i] for i in final_const_map]
             apps_args = theta_vals[4:] if split else theta_vals
             final_args = theta_vals[4:] if split else theta_vals
-            if split:
+            if recon:
                 # This chunk's upper-boundary state z_{lo + t_block} —
                 # constant for the whole chunk (the previous chunk's lowest
                 # trajectory row, or z_K for the first chunk).
@@ -662,15 +690,15 @@ def evolve_kl_bwd_pallas(
                 g_z, g_gt, g_sn = carry
                 jl = t_block - 1 - t  # local trajectory-window row
                 j = lo + jl  # global step index
-                z_j = traj_ref[jl]
+                z_j = traj_ref[jl].astype(jnp.float32)
                 gt_j, sn_j = jax.core.eval_jaxpr(
                     apps_jaxpr.jaxpr, apps_consts, *apps_args, z_j, j
                 )
-                if split:
+                if recon:
                     z_up = traj_ref[jnp.minimum(jl + 1, t_block - 1)]
                     stoch = jnp.where(jl == t_block - 1, z_hi, z_up)
                 else:
-                    stoch = noise_ref[jl]
+                    stoch = noise_ref[jl].astype(jnp.float32)
                 flat_in = list(theta_vals) + [
                     z_j, gt_j, sn_j, stoch, j,
                     g_z, g_gt, g_sn, c_row,
@@ -684,7 +712,9 @@ def evolve_kl_bwd_pallas(
                     # out-of-kernel weight-grad pass consumes the stack
                     # (shifted layout: point j+1's cotangent at row j, so
                     # every write stays inside this chunk's window).
-                    gsn_ref[jl] = out[n_theta_out + 3]
+                    gsn_ref[jl] = out[n_theta_out + 3].astype(
+                        residual_dtype
+                    )
                 return (
                     out[n_theta_out],
                     out[n_theta_out + 1],
@@ -697,23 +727,24 @@ def evolve_kl_bwd_pallas(
             s_gz[:] = g_z0
             s_ggt[:] = g_gt
             s_gsn[:] = g_sn
-            if split:
+            if recon:
                 s_zb[:] = traj_ref[0]  # next chunk's upper boundary
 
             @pl.when(pid_t == nt - 1)
             def _final_carry():
                 # Last chunk covers j in [0, t_block): window row 0 is z_0.
+                z_0 = traj_ref[0].astype(jnp.float32)
                 if split:
-                    gsn0_ref[:] = g_sn
+                    gsn0_ref[:] = g_sn.astype(residual_dtype)
                     g_z0_apps = jax.core.eval_jaxpr(
                         final_jaxpr.jaxpr, final_consts,
-                        *final_args, traj_ref[0], g_gt, g_sn,
+                        *final_args, z_0, g_gt, g_sn,
                     )[0]
                     gz0_ref[:] = g_z0 + g_z0_apps
                 else:
                     fin = jax.core.eval_jaxpr(
                         final_jaxpr.jaxpr, final_consts,
-                        *final_args, traj_ref[0], g_gt, g_sn,
+                        *final_args, z_0, g_gt, g_sn,
                     )
                     _accumulate(fin[:n_theta])
                     gz0_ref[:] = g_z0 + fin[n_theta]
@@ -748,7 +779,7 @@ def evolve_kl_bwd_pallas(
         ),
     ]
     inputs = [traj_t]
-    if not split:  # split reconstructs xi from the trajectory
+    if not recon:  # recon-mode split rebuilds xi from the trajectory
         assert noise_t is not None
         in_specs.append(
             pl.BlockSpec(
@@ -765,7 +796,7 @@ def evolve_kl_bwd_pallas(
         ),
     ]
     inputs += [cot_rows, gzf_t]
-    if split:
+    if recon:
         in_specs.append(
             pl.BlockSpec(
                 (dim_pad, block), lambda i, t: (0, i),
@@ -818,7 +849,7 @@ def evolve_kl_bwd_pallas(
             )
         )
         out_shape.append(
-            jax.ShapeDtypeStruct((nbridges, dim_pad, n_pad), jnp.float32)
+            jax.ShapeDtypeStruct((nbridges, dim_pad, n_pad), residual_dtype)
         )
         out_specs.append(
             pl.BlockSpec(
@@ -826,7 +857,9 @@ def evolve_kl_bwd_pallas(
                 memory_space=pltpu.VMEM,
             )
         )
-        out_shape.append(jax.ShapeDtypeStruct((dim_pad, n_pad), jnp.float32))
+        out_shape.append(
+            jax.ShapeDtypeStruct((dim_pad, n_pad), residual_dtype)
+        )
 
     scratch_shapes = [pltpu.VMEM((dim_pad, block), jnp.float32)]
     if carry_sn:
@@ -834,7 +867,7 @@ def evolve_kl_bwd_pallas(
             pltpu.VMEM((dim_pad, block), jnp.float32),
             pltpu.VMEM((dim_pad, block), jnp.float32),
         ]
-    if split:
+    if recon:
         scratch_shapes.append(pltpu.VMEM((dim_pad, block), jnp.float32))
 
     # Split mode: the in-kernel f32 upcasts of the bf16-stored weights and
@@ -876,17 +909,23 @@ def evolve_kl_bwd_pallas(
         # shifted layout: row j of the shifted output is point j+1.)
         gsn_stack = jnp.concatenate(
             [outs[n_theta_out + 2][None], outs[n_theta_out + 1]], axis=0
-        )
+        ).astype(jnp.float32)
 
         traj_full = (
             traj_t if n_traj == nbridges + 1
-            else jnp.concatenate([traj_t, zK_t[None]], axis=0)
+            else jnp.concatenate(
+                [traj_t, zK_t[None].astype(residual_dtype)], axis=0
+            )
         )
 
         def net_all(th_sn):
             def per_j(carry, inp):
                 j, z_j = inp
-                return carry, sn_apply_f32(th_sn, z_j, j)
+                # bf16-stored trajectory points upcast per step (keeps the
+                # HBM stream half-width; the net compute stays f32).
+                return carry, sn_apply_f32(
+                    th_sn, z_j.astype(jnp.float32), j
+                )
 
             _, outs_ = jax.lax.scan(
                 per_j, 0,

@@ -122,6 +122,7 @@ def evolve_overdamped_pallas(
     return_trajectory_t: bool = False,
     return_noise_t: bool = False,
     time_block: int | None = None,
+    residual_dtype=jnp.float32,
     interpret: bool = False,
 ):
     """Run nbridges overdamped steps fused on-core.
@@ -142,6 +143,11 @@ def evolve_overdamped_pallas(
     of the BPTT reverse-sweep backward kernel (ops/pallas_kl.py). Only
     meaningful with the in-kernel PRNG (when `noise` is injected the caller
     already holds it).
+    residual_dtype: storage dtype of the trajectory/noise stacks (the
+    kernel casts at store; chain state stays f32 on-core). bfloat16 halves
+    the residual HBM traffic for the split reverse sweep's quality-gated
+    reduced-precision path — requires dim_pad % 16 == 0 (bf16 sublane
+    tiling), which every large-dim target satisfies.
     time_block: when set (and storing residuals), run a TIME-CHUNKED
     rollout — a second grid dimension over t_block-step windows with the
     chain state carried in VMEM scratch — so the stored trajectory/noise
@@ -154,6 +160,12 @@ def evolve_overdamped_pallas(
     n, d = z0.shape
     assert d == dim
     dim_pad = max(8, _round_up(dim, 8))
+    residual_dtype = jnp.dtype(residual_dtype)
+    if residual_dtype != jnp.float32:
+        assert residual_dtype == jnp.dtype(jnp.bfloat16), residual_dtype
+        assert dim_pad % 16 == 0, (
+            f"bf16 residual stacks need dim_pad % 16 == 0, got {dim_pad}"
+        )
     block = _round_up(block, LANE)
     n_pad = _round_up(n, block)
     nblocks = n_pad // block
@@ -549,14 +561,14 @@ def evolve_overdamped_pallas(
             z, gt, sn_cur, w = carry
             i = lo + il if chunked else il
             if return_trajectory_t:
-                traj_ref[il] = z
+                traj_ref[il] = z.astype(residual_dtype)
             beta = betas_ref[0, i]
             if inject_noise:
                 xi = noise_ref[il]
             else:
                 xi = _box_muller((dim_pad, block))
             if return_noise_t:
-                noise_out_ref[il] = xi
+                noise_out_ref[il] = xi.astype(residual_dtype)
             return step_conv(z, gt, sn_cur, w, xi, i, beta, eps0, factor, *consts)
 
         if chunked:
@@ -592,7 +604,7 @@ def evolve_overdamped_pallas(
                 out_w_ref[:] = jnp.broadcast_to(w, (8, block))
         else:
             if return_trajectory_t:
-                traj_ref[nbridges] = z
+                traj_ref[nbridges] = z.astype(residual_dtype)
             out_z_ref[:] = z
             out_w_ref[:] = jnp.broadcast_to(w, (8, block))
 
@@ -642,7 +654,7 @@ def evolve_overdamped_pallas(
             )
         )
         out_shape.append(
-            jax.ShapeDtypeStruct((traj_rows, dim_pad, n_pad), jnp.float32)
+            jax.ShapeDtypeStruct((traj_rows, dim_pad, n_pad), residual_dtype)
         )
     if return_noise_t:
         out_specs.append(
@@ -653,7 +665,7 @@ def evolve_overdamped_pallas(
             )
         )
         out_shape.append(
-            jax.ShapeDtypeStruct((nbridges, dim_pad, n_pad), jnp.float32)
+            jax.ShapeDtypeStruct((nbridges, dim_pad, n_pad), residual_dtype)
         )
 
     scratch_shapes = []

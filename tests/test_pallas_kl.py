@@ -173,6 +173,39 @@ def test_pallas_kl_split_bf16_within_tolerance(monkeypatch):
     assert 0.0 < rel < 3e-2, rel
 
 
+def test_pallas_kl_split_bf16_residuals_within_tolerance(monkeypatch):
+    """bf16 residual stacks (trajectory/noise/gsn stored bfloat16 on the
+    split path — the LGCP K=256 streaming lever): the LOSS must be
+    bit-identical to f32 residuals (the forward kernel computes and reduces
+    in f32; storage dtype only affects what the backward reads) and the
+    gradient within the same explicit tolerance as the bf16-weights path."""
+    from cmcd_tpu.ops import fused_train
+
+    monkeypatch.setattr(fused_train, "_NET_GRADS_OUTSIDE_BYTES", 0)
+    n, nb = 96, 5
+    # funnel: dim 10 -> dim_pad 16 satisfies the bf16 sublane-tiling gate
+    # (the 2-D targets pad to 8 and stay f32-residual only).
+    target, setup, params, ctx, key, noise = make_case(
+        "funnel", "MCD_CAIS_sn", nb, n
+    )
+
+    def loss(train, bf16_res):
+        return kl_bound_pallas(
+            {"train": train, "notrain": params["notrain"]}, key, n, ctx,
+            setup, target, block=128, noise=noise, interpret=True,
+            bf16_residuals=bf16_res,
+        )[0]
+
+    l32, g32 = jax.value_and_grad(lambda t: loss(t, False))(params["train"])
+    l16, g16 = jax.value_and_grad(lambda t: loss(t, True))(params["train"])
+    onp.testing.assert_allclose(float(l32), float(l16), rtol=1e-6)
+    f32v, _ = jax.flatten_util.ravel_pytree(g32)
+    f16v, _ = jax.flatten_util.ravel_pytree(g16)
+    scale = float(jnp.linalg.norm(f32v))
+    rel = float(jnp.linalg.norm(f32v - f16v)) / (scale + 1e-12)
+    assert 0.0 < rel < 3e-2, rel
+
+
 def test_pallas_kl_neg_elbos_match_scan():
     n, nb = 64, 4
     target, setup, params, ctx, key, noise = make_case(
