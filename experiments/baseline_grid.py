@@ -15,6 +15,7 @@ emerges far earlier):
   BG_MFVI_ITERS  MFVI pretrain iterations       (default 10000)
   BG_KS          comma-separated K list         (default 8,16,32,64,128,256)
   BG_SEEDS       eval seed-batches (n_input_dist_seeds, default 10)
+  BG_OUT         artifact path (default experiments/data/baseline_grid.json)
 
 Usage (run ALONE - one process per chip):
   python -m experiments.baseline_grid funnel gmm log_sonar seeds
@@ -191,5 +192,6 @@ if __name__ == "__main__":
         args or ["funnel", "gmm", "log_sonar", "seeds"])
     ks = tuple(int(x) for x in
                os.environ.get("BG_KS", "8,16,32,64,128,256").split(","))
-    rep = run_grid(targets, ks)
+    out = os.environ.get("BG_OUT", "experiments/data/baseline_grid.json")
+    rep = run_grid(targets, ks, out_path=out)
     print("monotone:", rep["monotone"])

@@ -163,6 +163,9 @@ def main():
     ap.add_argument("--scan", action="store_true",
                     help="profile the XLA-scan path instead of fused")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--bf16_residuals", action="store_true",
+                    help="bf16 trajectory/noise/gsn stacks on the split "
+                         "fused-KL backward (ops/fused_train bf16_residuals)")
     ap.add_argument("--trace_dir", type=str, default=None,
                     help="persist the trace here (default: tempdir)")
     ap.add_argument("--reparse", action="store_true",
@@ -206,7 +209,8 @@ def main():
                 p, k, args.n, ctx, setup, target, bf16_net=args.bf16)
         else:
             loss_builder = lambda p, k: kl_bound_pallas(
-                p, k, args.n, ctx, setup, target, bf16_net=args.bf16)
+                p, k, args.n, ctx, setup, target, bf16_net=args.bf16,
+                bf16_residuals=args.bf16_residuals)
 
     train_step, opt = _train_step_factory(loss_builder, trainable)
     state = (params["train"], params["notrain"], opt.init(params["train"]),
