@@ -276,6 +276,12 @@ def run_experiment(config, logger: MetricLogger | None = None):
         "final_ln_Z": out["final_ln_Z"],
         "final_elbo_std": out["final_elbo_std"],
         "final_ln_Z_std": out["final_ln_Z_std"],
+        # Raw eval arrays for downstream diagnostics (mode occupancy,
+        # weight-variance/ESS probes — experiments/gmm_probe.py). Consumers
+        # that serialize results filter to scalars (experiments/recipes.py
+        # run_all keeps int/float only).
+        "samples": out["samples"],
+        "neg_elbos": out["neg_elbos"],
     }
 
     if config.use_ema and result.ema_params is not None:
