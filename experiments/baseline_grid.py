@@ -132,6 +132,13 @@ def run_grid(targets, ks=KS_DEFAULT,
             print(f"[grid] {target} K={k}: ELBO {cell['elbo']:.3f} "
                   f"(ref {cell['elbo_ref']}) lnZ {cell['ln_Z']:.3f} "
                   f"[{cell['wall_s']}s]")
+    if out_path and os.path.exists(out_path):
+        # Merge with prior cells (idempotent partial re-runs: fresh rows
+        # replace same-(target, K) cells, other targets' rows are kept, and
+        # the monotone verdicts are recomputed over the union).
+        prior = json.load(open(out_path))["rows"]
+        seen = {(r["target"], r["K"]) for r in rows}
+        rows[:0] = [r for r in prior if (r["target"], r["K"]) not in seen]
     report = {
         "rows": rows,
         "monotone": check_monotone(rows),

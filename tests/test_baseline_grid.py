@@ -34,6 +34,33 @@ def test_reference_table_covers_grid_ks():
         assert set(row) == set(KS_DEFAULT), target
 
 
+def test_run_grid_merges_prior_artifact(tmp_path, monkeypatch):
+    """Partial re-runs must union with the existing artifact: fresh rows
+    replace same-(target, K) cells, other targets survive."""
+    import json
+
+    import experiments.baseline_grid as bg
+
+    out = tmp_path / "grid.json"
+    out.write_text(json.dumps({"rows": [
+        {"target": "funnel", "K": 8, "elbo": -1.0, "ln_Z": 0.0,
+         "elbo_ref": -1.013, "wall_s": 1.0, "iters": 3000},
+        {"target": "gmm", "K": 8, "elbo": -9.9, "ln_Z": 0.0,
+         "elbo_ref": -0.536, "wall_s": 1.0, "iters": 3000},
+    ], "monotone": {}, "env": {}}))
+
+    def fake_run_experiment(config):
+        return {"final_elbo": -0.4, "final_ln_Z": 0.01}
+
+    monkeypatch.setattr("cmcd_tpu.main.run_experiment", fake_run_experiment)
+    rep = bg.run_grid(["gmm"], ks=(8,), out_path=str(out))
+    cells = {(r["target"], r["K"]): r["elbo"] for r in rep["rows"]}
+    assert cells[("funnel", 8)] == -1.0          # kept
+    assert cells[("gmm", 8)] == -0.4             # replaced
+    assert set(rep["monotone"]) == {"funnel", "gmm"}
+    assert json.load(open(out))["rows"] == rep["rows"]
+
+
 def test_check_monotone_flags_regression():
     rows = [
         {"target": "funnel", "K": 8, "elbo": -1.0, "elbo_ref": -1.013},
