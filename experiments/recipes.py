@@ -176,7 +176,14 @@ RECIPES = {
         ln_z_tol=0.25,
     ),
     # README.md:73 3-mode GMM replicate ("gmm replicate": emb_dim 20,
-    # eps 0.01, lr 1e-3).
+    # eps 0.01, lr 1e-3) at the reference's FULL budget (150k iterations,
+    # src/configs/base.py:109 default — the round-4 11k-iter entry
+    # under-trained the late-converging symmetrized target). The 150k
+    # K=8 ladder cell (experiments/data/gmm_ladder_150k.json) records
+    # ELBO -0.352 / ln Z +0.009, BEATING the published reference cell
+    # (-0.536, plotting_rebuttal.ipynb cell 18 via BASELINE.md) — so the
+    # checks are tightened to ln Z within 0.1 nat AND ELBO at least as
+    # good as the published number.
     "gmm_cais": dict(
         flags={
             "model": "gmm",
@@ -185,7 +192,7 @@ RECIPES = {
             "emb_dim": 20,
             "init_eps": 0.01,
             "init_sigma": 1,
-            "iters": 11000,
+            "iters": 150000,
             "pretrain_mfvi": False,
             "train_vi": True,
             "train_eps": False,
@@ -193,7 +200,8 @@ RECIPES = {
             "n_samples": 500,
         },
         ln_z_true=0.0,
-        ln_z_tol=0.25,
+        ln_z_tol=0.1,
+        elbo_floor=-0.536,
     ),
     # 2-mode GMM with plain ULA (driver config #1), CPU-runnable.
     "gmm_ula": dict(

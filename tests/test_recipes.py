@@ -40,7 +40,10 @@ def test_every_tolerance_admits_its_recorded_result():
         # recipe: (final_ln_Z, final_elbo) from RESULTS.md full runs.
         "funnel_k8": (-0.374, -1.000),
         "many_gmm_vargrad": (-0.043, None),
-        "gmm_cais": (-0.169, None),
+        # 150k-iteration K=8 ladder cell (gmm_ladder_150k.json): the
+        # tightened entry (ln Z tol 0.1, ELBO floor at the published
+        # -0.536) admits it.
+        "gmm_cais": (0.0093, -0.352),
     }
     for name, (lnz, elbo) in recorded.items():
         results = {"final_ln_Z": lnz, "final_elbo": elbo}
