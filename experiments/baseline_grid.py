@@ -83,8 +83,10 @@ TARGET_FLAGS = {
     # — see targets/gym.py), so ELBO LEVELS are not comparable to the
     # reference cell-18 lorenz row (87502..-3745, its own data); the grid
     # checks curve SHAPE (monotone in K) only. LR comes from LR_DICT
-    # (MCD_CAIS_sn: 1e-5).
-    "lorenz": dict(_POSTERIOR),
+    # (MCD_CAIS_sn: 1e-5). init_eps matches the recorded working lorenz
+    # protocol (experiments/posterior_moments.py --eps default; the 90-D
+    # bridge diverges at the generic posterior 0.01, RESULTS.md round 2).
+    "lorenz": dict(_POSTERIOR, init_eps=1e-5),
 }
 
 # Absolute monotone slack overrides (nats) for targets whose ELBO scale
