@@ -107,21 +107,36 @@ def run_probe(ks, variant_names, out_path="experiments/data/gmm_probe.json"):
                 f"logw_var {row['logw_var']:.3f} ess {row['ess_frac']:.3f} "
                 f"occ {occ} [{row['wall_s']}s]"
             )
+            # Checkpoint after EVERY run: a wedged relay mid-sweep must not
+            # lose the finished rows (each run is minutes of chip time).
+            if out_path:
+                _write_merged(out_path, rows)
     report = {"rows": rows, "env": {k: os.environ.get(k) for k in ("GP_ITERS", "GP_KS")}}
     if out_path:
-        os.makedirs(os.path.dirname(out_path), exist_ok=True)
-        # Merge with any prior probe rows (idempotent re-runs append).
-        if os.path.exists(out_path):
-            prior = json.load(open(out_path))["rows"]
-            seen = {(r["K"], r["variant"], r["iters"]) for r in rows}
-            rows[:0] = [
-                r for r in prior
-                if (r["K"], r["variant"], r["iters"]) not in seen
-            ]
-        with open(out_path, "w") as f:
-            json.dump(report, f, indent=1)
+        report["rows"] = _write_merged(out_path, rows)
         print(f"wrote {out_path}")
     return report
+
+
+def _write_merged(out_path, rows):
+    """Merge `rows` over any prior artifact (fresh rows win on the
+    (K, variant, iters) key) and write atomically; returns the union."""
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    merged = list(rows)
+    if os.path.exists(out_path):
+        prior = json.load(open(out_path))["rows"]
+        seen = {(r["K"], r["variant"], r["iters"]) for r in merged}
+        merged[:0] = [
+            r for r in prior
+            if (r["K"], r["variant"], r["iters"]) not in seen
+        ]
+    report = {"rows": merged,
+              "env": {k: os.environ.get(k) for k in ("GP_ITERS", "GP_KS")}}
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(report, f, indent=1)
+    os.replace(tmp, out_path)
+    return merged
 
 
 if __name__ == "__main__":
