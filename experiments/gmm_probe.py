@@ -46,6 +46,9 @@ VARIANTS = {
     "eps_double": {"init_eps": 0.02},
     "lr_low": {"lr": 1e-4},
     "ema": {"use_ema": True},
+    # Combined best levers from the one-at-a-time K=256 sweep (cos_sq
+    # -0.157, eps_half -0.206 vs base -0.281): does the eps story compound?
+    "cos_sq_eps_half": {"eps_schedule": "cos_sq", "init_eps": 0.005},
 }
 
 
