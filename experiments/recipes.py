@@ -203,6 +203,34 @@ RECIPES = {
         ln_z_tol=0.1,
         elbo_floor=-0.536,
     ),
+    # TUNED 3-mode gmm at the reference's worst-trailing cell (K=256):
+    # the README recipe + the reference's own cosine-squared eps schedule,
+    # the single lever the round-5 probe (experiments/data/gmm_probe.json)
+    # measured to cut pooled log-weight variance 43% (0.652 -> 0.371) and
+    # close half the remaining ELBO gap (-0.281 -> -0.157 vs published
+    # -0.013). This is the framework-recommended large-K gmm recipe; the
+    # probe's recorded run is the floor's provenance.
+    "gmm_cais_tuned": dict(
+        flags={
+            "model": "gmm",
+            "boundmode": "MCD_CAIS_sn",
+            "N": 300,
+            "nbridges": 256,
+            "emb_dim": 20,
+            "init_eps": 0.01,
+            "eps_schedule": "cos_sq",
+            "init_sigma": 1,
+            "iters": 150000,
+            "pretrain_mfvi": False,
+            "train_vi": True,
+            "train_eps": False,
+            "lr": 0.001,
+            "n_samples": 500,
+        },
+        ln_z_true=0.0,
+        ln_z_tol=0.1,
+        elbo_floor=-0.25,
+    ),
     # 2-mode GMM with plain ULA (driver config #1), CPU-runnable.
     "gmm_ula": dict(
         flags={
