@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 RECIPES = {
@@ -155,6 +156,10 @@ RECIPES = {
     # reference ships this net broken (src/nn_dds.py:195-317 crashes on its
     # trainable-string bug); it works here (zero-init grad gate), so this
     # entry is the E2E quality row the grad-equivalence tests don't give.
+    # iters: like the geffner many_gmm_kl entry, 5k under-trains the
+    # 40-mode KL objective (recorded round-5 run: ln Z -0.50 at 5k); the
+    # zero-init grad gate means the net starts as pure PISNet and needs
+    # the same 40k budget to learn the score-feature mixing.
     "many_gmm_kl_dds_grad": dict(
         flags={
             "model": "many_gmm",
@@ -170,7 +175,7 @@ RECIPES = {
             "train_eps": False,
             "train_vi": False,
             "nn_arch": "dds_grad",
-            "iters": 5000,
+            "iters": 40000,
         },
         ln_z_true=0.0,
         ln_z_tol=0.25,
@@ -311,14 +316,27 @@ def run_recipe(name: str):
 
 
 def run_all(out_path: str = "experiments/recipes_report.json",
-            names=None) -> dict:
+            names=None, merge=False) -> dict:
     """Execute every RECIPES entry via run_recipe and write one PASS/FAIL
     JSON table (the artifact RESULTS.md quality claims quote). Intended for
     real hardware (the flagship entries are full-scale recipes); the pytest
     hook is tests/test_recipes.py, marked `recipes` and excluded by
-    default."""
+    default.
+
+    merge=True (CLI: --only NAME ...) re-runs only `names` and splices the
+    fresh records into the existing report by recipe name, recomputing
+    all_pass — the cheap path when one entry's spec changed (same pattern
+    as the grid runner's partial re-run merge). Entries no longer in
+    RECIPES are dropped from the merged report."""
     from cmcd_tpu.config import get_config
     from cmcd_tpu.main import run_experiment
+
+    prior = {}
+    if merge and out_path and os.path.exists(out_path):
+        with open(out_path) as f:
+            for rec in json.load(f)["entries"]:
+                if rec["recipe"] in RECIPES:
+                    prior[rec["recipe"]] = rec
 
     report = {"entries": [], "all_pass": True}
     for name in (names or RECIPES):
@@ -332,9 +350,11 @@ def run_all(out_path: str = "experiments/recipes_report.json",
             k: float(v) for k, v in results.items()
             if isinstance(v, (int, float))
         }
-        report["entries"].append(record)
-        report["all_pass"] = report["all_pass"] and record["pass"]
+        prior[name] = record
         print(f"[{name}] -> {'PASS' if record['pass'] else 'FAIL'}")
+    # Emit in RECIPES order so merged and full runs produce the same layout.
+    report["entries"] = [prior[n] for n in RECIPES if n in prior]
+    report["all_pass"] = all(r["pass"] for r in report["entries"])
     if out_path:
         with open(out_path, "w") as f:
             json.dump(report, f, indent=1)
@@ -351,6 +371,11 @@ if __name__ == "__main__":
         args = [a for a in sys.argv[1:] if not a.startswith("--")]
         rep = run_all(out_path=args[0] if args
                       else "experiments/recipes_report.json")
+        sys.exit(0 if rep["all_pass"] else 1)
+    if "--only" in sys.argv:
+        names = [a for a in sys.argv[1:] if not a.startswith("--")]
+        assert names and all(n in RECIPES for n in names), names
+        rep = run_all(names=names, merge=True)
         sys.exit(0 if rep["all_pass"] else 1)
     ok, _ = run_recipe(sys.argv[1])
     sys.exit(0 if ok else 1)

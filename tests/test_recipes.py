@@ -85,6 +85,48 @@ def test_no_recipe_entry_is_vacuous():
                 or spec.get("elbo_floor") is not None), name
 
 
+def test_run_all_merge_splices_subset(tmp_path, monkeypatch):
+    """--only NAME re-runs one entry and splices it into the existing
+    report (recomputing all_pass) without touching the other records —
+    the cheap path when a single spec changes."""
+    import json
+
+    import cmcd_tpu.main
+    from experiments.recipes import run_all
+
+    out = tmp_path / "report.json"
+    stale = {
+        "entries": [
+            {"recipe": "funnel_k8", "pass": True, "checks": [],
+             "results": {"final_ln_Z": -0.374}},
+            {"recipe": "gmm_ula", "pass": False,
+             "checks": [{"metric": "ln_Z", "pass": False}],
+             "results": {"final_ln_Z": -9.0}},
+            {"recipe": "_removed_entry", "pass": True, "checks": []},
+        ],
+        "all_pass": False,
+    }
+    out.write_text(json.dumps(stale))
+    monkeypatch.setattr(
+        cmcd_tpu.main, "run_experiment",
+        lambda config: {"final_ln_Z": 0.01, "final_elbo": -1.0},
+    )
+    rep = run_all(out_path=str(out), names=["gmm_ula"], merge=True)
+    by_name = {r["recipe"]: r for r in rep["entries"]}
+    # The re-run entry is fresh and passing; the untouched entry survives;
+    # the entry no longer in RECIPES is dropped; all_pass is recomputed.
+    assert by_name["gmm_ula"]["pass"], rep
+    assert by_name["gmm_ula"]["results"]["final_ln_Z"] == 0.01
+    assert by_name["funnel_k8"]["results"]["final_ln_Z"] == -0.374
+    assert "_removed_entry" not in by_name
+    assert rep["all_pass"] is True
+    # Entries come out in RECIPES order regardless of the stale layout.
+    names = [r["recipe"] for r in rep["entries"]]
+    assert names == [n for n in RECIPES if n in by_name]
+    # The file on disk matches what was returned.
+    assert json.loads(out.read_text()) == rep
+
+
 @pytest.mark.recipes
 @pytest.mark.parametrize("name", sorted(RECIPES))
 def test_run_recipe_full_scale(name, tmp_path):
