@@ -81,6 +81,12 @@ def vmem_limit_params(inputs, out_shape, extra_bytes: int = 0, interpret=False):
     16 MB. 2x the operand footprint plus a 64 MB floor covers register
     spills and VJP temporaries that escape the operand estimate; this only
     raises the compiler's check, never allocations.
+
+    Cap: 126 MiB (was 120). The whitened-LGCP eval kernel carries ~50 MiB
+    of target constants (both orientations of the 1620^2 Cholesky factor
+    for the score AND the value path) and needs 122.28 MiB of compiler
+    stack (measured round 5) — 2 MiB over the old cap. 126 MiB keeps
+    2 MiB of slack under the physical 128.
     """
     if interpret:
         return {}
@@ -90,7 +96,7 @@ def vmem_limit_params(inputs, out_shape, extra_bytes: int = 0, interpret=False):
     return {
         "compiler_params": pltpu.CompilerParams(
             vmem_limit_bytes=min(
-                max(2 * need, 64 * 1024 * 1024), 120 * 1024 * 1024
+                max(2 * need, 64 * 1024 * 1024), 126 * 1024 * 1024
             )
         )
     }
