@@ -49,6 +49,11 @@ VARIANTS = {
     # Combined best levers from the one-at-a-time K=256 sweep (cos_sq
     # -0.157, eps_half -0.206 vs base -0.281): does the eps story compound?
     "cos_sq_eps_half": {"eps_schedule": "cos_sq", "init_eps": 0.005},
+    # Per-K eps interpolation (FUNNEL_EPS_DICT pattern): the full tuned
+    # ladder showed small K wants eps 0.01 and large K wants cos_sq+0.005,
+    # with the crossover between K=16 and K=32 — probe the mid-K cells
+    # with cos_sq at the base and an intermediate step.
+    "cos_sq_eps_0075": {"eps_schedule": "cos_sq", "init_eps": 0.0075},
 }
 
 
