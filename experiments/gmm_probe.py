@@ -54,6 +54,9 @@ VARIANTS = {
     # with the crossover between K=16 and K=32 — probe the mid-K cells
     # with cos_sq at the base and an intermediate step.
     "cos_sq_eps_0075": {"eps_schedule": "cos_sq", "init_eps": 0.0075},
+    # Other end of the interpolation: if optimal eps keeps shrinking with
+    # K, the K=256 cell may want less than 0.005.
+    "cos_sq_eps_quarter": {"eps_schedule": "cos_sq", "init_eps": 0.0025},
 }
 
 
