@@ -57,6 +57,7 @@ VARIANTS = {
     # Other end of the interpolation: if optimal eps keeps shrinking with
     # K, the K=256 cell may want less than 0.005.
     "cos_sq_eps_quarter": {"eps_schedule": "cos_sq", "init_eps": 0.0025},
+    "cos_sq_eps_8th": {"eps_schedule": "cos_sq", "init_eps": 0.00125},
 }
 
 
