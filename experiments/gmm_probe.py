@@ -58,6 +58,9 @@ VARIANTS = {
     # K, the K=256 cell may want less than 0.005.
     "cos_sq_eps_quarter": {"eps_schedule": "cos_sq", "init_eps": 0.0025},
     "cos_sq_eps_8th": {"eps_schedule": "cos_sq", "init_eps": 0.00125},
+    # Round-5 continuation: every halving at K=256 kept improving
+    # (-0.094/-0.077/-0.055 at 0.005/0.0025/0.00125) — find the turn.
+    "cos_sq_eps_16th": {"eps_schedule": "cos_sq", "init_eps": 0.000625},
 }
 
 
