@@ -210,13 +210,14 @@ RECIPES = {
     ),
     # TUNED 3-mode gmm at the reference's worst-trailing cell (K=256):
     # the README recipe + the reference's own cosine-squared eps schedule
-    # + halved init_eps — the COMBINED levers the round-5 probe
-    # (experiments/data/gmm_probe.json) measured best at full budget:
-    # one-at-a-time cos_sq -0.157 / eps_half -0.206 vs base -0.281, and
-    # the combination compounds to ELBO -0.094 / ln Z +0.001 / pooled
-    # log-weight variance 0.224 / ESS 0.855 at K=256 (published cell
-    # -0.013). This is the framework-recommended large-K gmm recipe; the
-    # probe's recorded runs are the floor's provenance.
+    # + the per-K interpolated init_eps the round-5 probe
+    # (experiments/data/gmm_probe.json) measured best at full budget. The
+    # eps axis at K=256 is BRACKETED: 0.0025/-0.077, 0.00125/-0.055,
+    # 0.000625/-0.069 — the optimum is eps/8 of the README value, giving
+    # ELBO -0.055 / ln Z +0.001 / pooled log-weight variance 0.129 /
+    # ESS 0.90 (published cell -0.013). This is the
+    # framework-recommended large-K gmm recipe; the probe's recorded runs
+    # are the floor's provenance.
     "gmm_cais_tuned": dict(
         flags={
             "model": "gmm",
@@ -224,7 +225,7 @@ RECIPES = {
             "N": 300,
             "nbridges": 256,
             "emb_dim": 20,
-            "init_eps": 0.005,
+            "init_eps": 0.00125,
             "eps_schedule": "cos_sq",
             "init_sigma": 1,
             "iters": 150000,
@@ -236,7 +237,7 @@ RECIPES = {
         },
         ln_z_true=0.0,
         ln_z_tol=0.1,
-        elbo_floor=-0.2,
+        elbo_floor=-0.12,
     ),
     # 2-mode GMM with plain ULA (driver config #1), CPU-runnable.
     "gmm_ula": dict(
